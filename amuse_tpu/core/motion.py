@@ -1,0 +1,62 @@
+"""Motion feature packing: SMPL-X pose windows <-> model feature vectors.
+
+The stage-2 unit of work is a 300-frame window of SMPL-X poses at 30 fps:
+55 joints x axis-angle(3) + root translation(3) = 168 raw features, or
+55 x 6D(6) + 3 = 333 features in the 6D representation the flagship config
+trains on (reference: scripts/trainer.py:363-369, configs/base_new.json
+``smplx_rep: 6D``). These helpers are pure reshapes/conversions so the whole
+train/infer step stays inside one jitted program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from amuse_tpu.core import rotations
+
+NUM_JOINTS = 55
+RAW_FEATS = NUM_JOINTS * 3 + 3  # 168
+FEATS_6D = NUM_JOINTS * 6 + 3  # 333
+WINDOW_FRAMES = 300  # 10 s at 30 fps
+JAW_JOINT = 22  # zeroed when exporting npz (reference: visualizer.py:196)
+LOWER_BODY_JOINTS = (1, 2, 4, 5, 7, 8, 10, 11)
+
+
+def axis_angle_to_feats6d(motion: jax.Array) -> jax.Array:
+    """(..., T, 168) axis-angle+trans -> (..., T, 333) 6D+trans."""
+    poses, trans = motion[..., :-3], motion[..., -3:]
+    aa = poses.reshape(poses.shape[:-1] + (NUM_JOINTS, 3))
+    d6 = rotations.axis_angle_to_rotation_6d(aa)
+    d6 = d6.reshape(d6.shape[:-2] + (NUM_JOINTS * 6,))
+    return jnp.concatenate([d6, trans], axis=-1)
+
+
+def feats6d_to_axis_angle(feats: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., T, 333) -> poses (..., T, 55, 3) axis-angle and trans (..., T, 3)."""
+    d6, trans = feats[..., :-3], feats[..., -3:]
+    d6 = d6.reshape(d6.shape[:-1] + (NUM_JOINTS, 6))
+    aa = rotations.rotation_6d_to_axis_angle(d6)
+    return aa, trans
+
+
+def feats3d_split(feats: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., T, 168) -> poses (..., T, 55, 3) and trans (..., T, 3)."""
+    poses, trans = feats[..., :-3], feats[..., -3:]
+    return poses.reshape(poses.shape[:-1] + (NUM_JOINTS, 3)), trans
+
+
+def zero_jaw(poses: jax.Array) -> jax.Array:
+    """Zero the jaw joint before export (reference: visualizer.py:196)."""
+    return poses.at[..., JAW_JOINT, :].set(0.0)
+
+
+def window_motion(motion: jax.Array, frames_per_window: int = WINDOW_FRAMES) -> jax.Array:
+    """(T, F) -> (T // W, W, F): deterministic non-overlapping windows.
+
+    Mirrors the reference's scaling mechanism for arbitrary-length sequences
+    (dm/dm.py:617-661, infer_ldm.py:454-457): long inputs become a *batch* of
+    fixed-size windows; the batch dim is what gets data-parallel sharded.
+    """
+    n = (motion.shape[0] // frames_per_window) * frames_per_window
+    return motion[:n].reshape(-1, frames_per_window, motion.shape[-1])

@@ -1,0 +1,18 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initialises.
+
+TPU hardware in CI is a single chip; multi-chip sharding is validated on a
+virtual CPU mesh exactly as the driver's dryrun does (see __graft_entry__.py).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
