@@ -33,6 +33,29 @@ def load_wav(path, expected_sr: int | None = EXPECTED_SR) -> tuple[np.ndarray, i
     return wave, sr
 
 
+def resample(wave: np.ndarray, orig_sr: int, target_sr: int = EXPECTED_SR) -> np.ndarray:
+    """Polyphase resampling along the last axis (e.g. 44.1 kHz demo wavs -> 16 kHz).
+
+    The reference pipeline assumes all audio is already 16 kHz (dm/dm.py:424);
+    this helper covers arbitrary-rate user audio for ``infer_gesture``.
+    """
+    if orig_sr == target_sr:
+        return np.asarray(wave, np.float32)
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(orig_sr, target_sr)
+    out = resample_poly(np.asarray(wave, np.float64), target_sr // g, orig_sr // g, axis=-1)
+    return out.astype(np.float32)
+
+
+def load_wav_resampled(path, target_sr: int = EXPECTED_SR) -> np.ndarray:
+    """Read any-rate WAV -> float32 (channels, N) at ``target_sr``."""
+    wave, sr = load_wav(path, expected_sr=None)
+    return resample(wave, sr, target_sr)
+
+
 def save_wav(path, wave: np.ndarray, sr: int = EXPECTED_SR) -> None:
     """Write float32 [-1, 1] (channels, N) or (N,) to 16-bit PCM."""
     wave = np.asarray(wave)

@@ -1,0 +1,182 @@
+"""Gesture generation pipeline: WAV -> SMPL-X animation, one jitted program.
+
+Re-design of the reference inference stack
+(models/latent_diffusion/infer_ldm.py:130-193, scripts/trainer.py:500-543):
+
+  reference (per 10 s window, Python-loop on GPU):
+     kaldi fbank -> 3 AST forwards -> 50 sequential denoiser calls ->
+     VAE decode -> pytorch3d 6D->aa
+  here (all windows batched, ONE XLA program on TPU):
+     fbank (jit) -> AST triple encode (bf16 MXU) -> lax.scan DDIM(50) ->
+     VAE decode -> 6D->aa  -- fused end-to-end, zero host round-trips.
+
+Parameters are traced arguments (donated-friendly), never baked into the
+executable. The driver-visible north star is ``wav_to_motion``: 10 s WAV ->
+SMPL-X poses in < 1 s on one chip (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amuse_tpu.audio import fbank as fbank_mod
+from amuse_tpu.core import motion as motion_mod
+from amuse_tpu.diffusion import ddim_sample, make_schedule
+from amuse_tpu.models.ast import ASTDisentangler
+from amuse_tpu.models.denoiser import Denoiser, DenoiserConfig
+from amuse_tpu.models.vae import MotionPrior, PriorConfig
+
+
+class PipelineParams(NamedTuple):
+    """Frozen parameter trees of the three models."""
+
+    ast: dict
+    prior: dict
+    denoiser: dict
+
+
+class GesturePipeline:
+    """Frozen-weights inference engine (the reference's PretrainedLPDM_v1).
+
+    Each public method wraps one jitted pure function of (params, inputs);
+    repeated calls with the same window count hit the compile cache. The
+    batch dim is the number of 10 s windows.
+    """
+
+    def __init__(
+        self,
+        params: PipelineParams,
+        prior_cfg: PriorConfig = PriorConfig(),
+        denoiser_cfg: DenoiserConfig = DenoiserConfig(),
+        dtype=jnp.bfloat16,
+        num_inference_steps: int = 50,
+    ):
+        self.params = params
+        self.prior_cfg = prior_cfg
+        self.denoiser_cfg = denoiser_cfg
+        ast = ASTDisentangler(dtype=dtype)
+        prior = MotionPrior(prior_cfg)
+        denoiser = Denoiser(denoiser_cfg)
+        schedule = make_schedule()
+
+        def encode_audio(params: PipelineParams, chunks: jax.Array):
+            """(N, 160000) chunks -> {con, emo, sty} (N, 256) features.
+
+            = reference ``process_single_seq`` (infer_ldm.py:180-193) with
+            the Kaldi fbank fused in.
+            """
+            fb = fbank_mod.wav_chunk_to_fbank(chunks)
+            feats = ast.apply({"params": params.ast}, fb, True, True, method="encode")
+            return {
+                "con": feats["con"]["feature"],
+                "emo": feats["emo"]["feature"],
+                "sty": feats["sty"]["feature"],
+            }
+
+        def generate_latents(
+            params: PipelineParams,
+            rng: jax.Array,
+            con: jax.Array,
+            emo: Optional[jax.Array],
+            sty: Optional[jax.Array],
+        ) -> jax.Array:
+            """50-step DDIM -> motion latents (N, 1, 128).
+
+            = reference ``diffusion_backward`` (infer_ldm.py:130-161) as a
+            single lax.scan.
+            """
+
+            def denoise_fn(latents, t):
+                return denoiser.apply(
+                    {"params": params.denoiser}, latents, t, con, emo, sty
+                )
+
+            shape = (con.shape[0], denoiser_cfg.latent_tokens, denoiser_cfg.latent_dim)
+            return ddim_sample(schedule, denoise_fn, rng, shape, num_inference_steps)
+
+        def decode_motion(params: PipelineParams, latents: jax.Array):
+            """latents -> (poses (N, 300, 55, 3) axis-angle, trans (N, 300, 3))."""
+            feats = prior.apply(
+                {"params": params.prior}, latents, prior_cfg.window, method="decode"
+            )
+            return motion_mod.feats6d_to_axis_angle(feats)
+
+        def encode_motion(params: PipelineParams, rng: jax.Array, feats6d: jax.Array):
+            """(N, 300, 333) 6D windows -> latents (N, 1, 128) (editing inputs)."""
+            z, _ = prior.apply({"params": params.prior}, feats6d, rng, method="encode")
+            return z
+
+        def wav_to_motion(params: PipelineParams, rng: jax.Array, chunks: jax.Array):
+            """The full fused program - the <1 s/chip benchmark target."""
+            cond = encode_audio(params, chunks)
+            latents = generate_latents(params, rng, cond["con"], cond["emo"], cond["sty"])
+            return decode_motion(params, latents)
+
+        self._encode_audio = jax.jit(encode_audio)
+        self._generate_latents = jax.jit(generate_latents)
+        self._decode_motion = jax.jit(decode_motion)
+        self._encode_motion = jax.jit(encode_motion)
+        self._wav_to_motion = jax.jit(wav_to_motion)
+
+    # ------------------------------------------------------------- wrappers
+    def encode_audio(self, chunks):
+        return self._encode_audio(self.params, chunks)
+
+    def generate_latents(self, rng, con, emo=None, sty=None):
+        return self._generate_latents(self.params, rng, con, emo, sty)
+
+    def decode_motion(self, latents):
+        return self._decode_motion(self.params, latents)
+
+    def encode_motion(self, rng, feats6d):
+        return self._encode_motion(self.params, rng, feats6d)
+
+    def wav_to_motion(self, rng, chunks):
+        return self._wav_to_motion(self.params, rng, chunks)
+
+    # ----------------------------------------------------------- host-level
+    def infer_wav(self, waveform: np.ndarray, seed: int = 0):
+        """Host entry: full-length waveform -> dict of numpy animation data.
+
+        Mirrors trainer._infer_prior_latdiff_from_audio_v1 (trainer.py:500-543):
+        chunk to 10 s windows, run the fused program, zero the jaw for export
+        (visualizer.py:196).
+        """
+        chunks = fbank_mod.window_waveform(waveform)
+        poses, trans = self.wav_to_motion(jax.random.key(seed), jnp.asarray(chunks))
+        poses = motion_mod.zero_jaw(poses)
+        return {
+            "poses": np.asarray(poses),  # (n_windows, 300, 55, 3)
+            "trans": np.asarray(trans),  # (n_windows, 300, 3)
+            "fps": 30.0,
+        }
+
+
+def init_random_params(
+    seed: int = 0,
+    prior_cfg: PriorConfig = PriorConfig(),
+    denoiser_cfg: DenoiserConfig = DenoiserConfig(),
+    dtype=jnp.bfloat16,
+) -> PipelineParams:
+    """Random-weight pipeline params (benchmarks, smoke tests, init)."""
+    k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+    ast = ASTDisentangler(dtype=dtype)
+    ast_params = ast.init(k1, jnp.zeros((1, 1024, 128)))["params"]
+    prior = MotionPrior(prior_cfg)
+    prior_params = prior.init(
+        k2, jnp.zeros((1, prior_cfg.window, prior_cfg.nfeats)), jax.random.key(0)
+    )["params"]
+    denoiser = Denoiser(denoiser_cfg)
+    den_params = denoiser.init(
+        k3,
+        jnp.zeros((1, denoiser_cfg.latent_tokens, denoiser_cfg.latent_dim)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, denoiser_cfg.cond_dim)),
+        jnp.zeros((1, denoiser_cfg.cond_dim)),
+        jnp.zeros((1, denoiser_cfg.cond_dim)),
+    )["params"]
+    return PipelineParams(ast=ast_params, prior=prior_params, denoiser=den_params)

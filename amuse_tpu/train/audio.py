@@ -1,0 +1,194 @@
+"""Stage-1 training: the AST speech disentangler swap objective.
+
+Re-design of trainer.train_dtw_ast (scripts/trainer.py:188-333) +
+AST_EVP.forward (models/audio/AST_EVP.py:118-168). Per step the reference
+runs 16 sequential ``reconstruct`` calls (12 ViT forwards + 16 fusion/
+decoder passes) on a batch of (actor1, actor2) x (take1, take2) fbank quads.
+
+TPU-first restructuring (same math):
+  * the 4 quad members stack into one (4B, 1024, 128) "virtual batch";
+    each of the 3 AST encoders runs ONCE over it (3 ViT forwards instead
+    of 12 sequential calls),
+  * the 16 reconstruction feature combinations are gathered into a
+    (16, B, 768) tensor and go through fusion+decoder in ONE batched call
+    (group axis = the reference's per-call boundary, preserving the
+    batch-as-sequence attention quirk),
+  * bf16 matmuls with f32 params replace the reference's AMP + GradScaler
+    (trainer.py:238-247) - bf16 needs no loss scaling,
+  * batch shards over the mesh "data" axis, replacing nn.DataParallel
+    (trainer.py:203-206) with XLA-collective data parallelism.
+
+Optimizer parity (configs/base_new.json:124-134, trainer.py:126-132):
+Adam(lr 1e-5, betas (0.95, 0.999), L2 weight decay 5e-7) with MultiStepLR
+gamma 0.85 from epoch 5, step 1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from amuse_tpu.models.ast import ASTDisentangler
+from amuse_tpu.train import losses as L
+
+
+@dataclass(frozen=True)
+class AudioTrainConfig:
+    learning_rate: float = 1e-5
+    beta1: float = 0.95
+    beta2: float = 0.999
+    weight_decay: float = 5e-7  # torch Adam style: L2 term added to grads
+    lr_decay_start_epoch: int = 5
+    lr_decay_gamma: float = 0.85
+    epochs: int = 25
+    frame_based_feats: bool = True  # configs/base_new.json:145
+    # SpecAugment (train-time, dm/dataload.py:222-248)
+    freq_mask: int = 24
+    time_mask: int = 96
+    noise_aug: bool = True
+
+
+def lr_schedule(cfg: AudioTrainConfig, epoch: int) -> float:
+    """MultiStepLR(milestones=range(start, epochs), gamma) at epoch granularity."""
+    decays = max(0, epoch - cfg.lr_decay_start_epoch + 1)
+    return cfg.learning_rate * (cfg.lr_decay_gamma**decays)
+
+
+def make_optimizer(cfg: AudioTrainConfig) -> optax.GradientTransformation:
+    # torch Adam(weight_decay=) adds wd * param to the raw gradient (L2),
+    # unlike decoupled AdamW - order matters: decay BEFORE the Adam moment
+    # updates. The lr knob is injected per-epoch via inject_hyperparams.
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2),
+            optax.scale(-learning_rate),
+        )
+    )(learning_rate=cfg.learning_rate)
+
+
+class AudioTrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def init_state(rng: jax.Array, cfg: AudioTrainConfig = AudioTrainConfig(), dtype=jnp.bfloat16) -> AudioTrainState:
+    model = ASTDisentangler(dtype=dtype)
+    params = model.init(rng, jnp.zeros((1, 1024, 128)))["params"]
+    opt_state = make_optimizer(cfg).init(params)
+    return AudioTrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+
+def spec_augment(rng: jax.Array, fbank: jax.Array, freq_mask: int, time_mask: int, noise: bool) -> jax.Array:
+    """Train-time augmentation (dm/dataload.py:222-248): one frequency mask,
+    one time mask, uniform noise / 10, random roll up to +-10 frames.
+
+    Static-shaped: masks are realised with iota comparisons, the roll with
+    jnp.roll on a traced shift - all jit/vmap safe.
+    """
+    kf, kt, kn, kr = jax.random.split(rng, 4)
+    t_len, f_len = fbank.shape[-2], fbank.shape[-1]
+
+    f0 = jax.random.randint(kf, (), 0, max(1, f_len - freq_mask))
+    fw = jax.random.randint(kf, (), 0, freq_mask + 1)
+    f_idx = jnp.arange(f_len)
+    fbank = jnp.where((f_idx >= f0) & (f_idx < f0 + fw), 0.0, fbank)
+
+    t0 = jax.random.randint(kt, (), 0, max(1, t_len - time_mask))
+    tw = jax.random.randint(kt, (), 0, time_mask + 1)
+    t_idx = jnp.arange(t_len)[:, None]
+    fbank = jnp.where((t_idx >= t0) & (t_idx < t0 + tw), 0.0, fbank)
+
+    if noise:
+        fbank = fbank + jax.random.uniform(kn, fbank.shape, fbank.dtype) / 10.0
+        shift = jax.random.randint(kr, (), -10, 11)
+        fbank = jnp.roll(fbank, shift, axis=-2)
+    return fbank
+
+
+def make_train_step(cfg: AudioTrainConfig = AudioTrainConfig(), dtype=jnp.bfloat16):
+    """Build the jitted stage-1 step.
+
+    batch dict (leading dim B, sharded over the data axis):
+      fbanks (B, 4, 1024, 128) clean normalised quads [a1t1, a1t2, a2t1, a2t2]
+      emo_id (B,), a1_id (B,), a2_id (B,)   0-based label indices
+    """
+    model = ASTDisentangler(dtype=dtype)
+    optimizer = make_optimizer(cfg)
+
+    def loss_fn(params, batch, rng):
+        clean = batch["fbanks"]  # (B, 4, T, F)
+        b = clean.shape[0]
+        quad = jnp.swapaxes(clean, 0, 1)  # (4, B, T, F)
+
+        if cfg.noise_aug or cfg.freq_mask or cfg.time_mask:
+            rngs = jax.random.split(rng, 4 * b).reshape(4, b)
+            aug = jax.vmap(jax.vmap(
+                lambda r, x: spec_augment(r, x, cfg.freq_mask, cfg.time_mask, cfg.noise_aug)
+            ))(rngs, quad)
+        else:
+            aug = quad
+
+        flat = aug.reshape(4 * b, *aug.shape[2:])  # one virtual batch
+        enc = model.apply(
+            {"params": params}, flat, cfg.frame_based_feats, False, method="encode"
+        )
+        f_emo = enc["emo"]["feature"].reshape(4, b, -1)
+        f_sty = enc["sty"]["feature"].reshape(4, b, -1)
+        f_con = enc["con"]["feature"].reshape(4, b, -1)
+        emo_logits = enc["emo"]["logits"].reshape(4, b, -1)
+        sty_logits = enc["sty"]["logits"].reshape(4, b, -1)
+
+        # 16 feature combinations (AST_EVP.py:133-157):
+        #   self x4:        (emo_i,  sty_i,  con_i)
+        #   content swap:   (emo_i,  sty_i,  con_partner(i))  partner: a1t1<->a2t1 etc.
+        #   emotion swap:   (emo_other_take(i), sty_i, con_i)
+        #   style swap:     (emo_i,  sty_other_take(i), con_i)
+        partner = jnp.asarray([2, 3, 0, 1])  # same take, other actor
+        other_take = jnp.asarray([1, 0, 3, 2])  # same actor, other take
+        ident = jnp.arange(4)
+
+        def combos(emo_idx, sty_idx, con_idx):
+            return jnp.concatenate(
+                [f_emo[emo_idx], f_sty[sty_idx], f_con[con_idx]], axis=-1
+            )  # (4, B, 768)
+
+        groups = jnp.concatenate(
+            [
+                combos(ident, ident, ident),
+                combos(ident, ident, partner),
+                combos(other_take, ident, ident),
+                combos(ident, other_take, ident),
+            ],
+            axis=0,
+        )  # (16, B, 768)
+        recons = model.apply(
+            {"params": params}, groups, False, method="reconstruct"
+        )  # (16, B, 1024, 128)
+
+        return L.ast_swap_losses(
+            recons, quad, emo_logits, sty_logits, f_con,
+            batch["emo_id"], batch["a1_id"], batch["a2_id"],
+        )
+
+    @jax.jit
+    def train_step(state: AudioTrainState, batch: dict, rng: jax.Array):
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return AudioTrainState(params, opt_state, state.step + 1), logs
+
+    def set_lr(state: AudioTrainState, epoch: int) -> AudioTrainState:
+        """Apply the MultiStepLR schedule by mutating the injected lr."""
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr_schedule(cfg, epoch))
+        return state._replace(opt_state=opt_state)
+
+    return train_step, set_lr

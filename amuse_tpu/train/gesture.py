@@ -1,0 +1,185 @@
+"""Stage-2 training: joint motion-prior VAE + latent-diffusion denoiser (LPDM).
+
+Re-design of trainer.train_prior_latdiff_forward_backward_v2
+(scripts/trainer.py:335-498). The reference's per-step Python sequence -
+axis-angle->6D, grad VAE pass, no-grad re-encode, DDPM noising + epsilon
+prediction, a full *50-step DDIM sampling pass under no_grad*, 6D->3D
+conversions, SMPL-X float64 vertex forward, AdamW step - composes here into
+ONE jitted, data-parallel-sharded program:
+
+  * the DDIM monitor pass is a lax.scan with stop_gradient (cheap, fused),
+    and can be throttled to every K steps (``monitor_every``) since it
+    carries no gradient (trainer.py:413-415 runs it every step),
+  * the vertex loss runs the JAX SMPL-X LBS in float32 (the reference's
+    float64 is unnecessary - see tests/test_smplx.py),
+  * batch shards over the mesh "data" axis; params/optimizer replicate;
+    XLA inserts the gradient psum.
+
+Optimizer: AdamW(1e-4) over the union of prior+denoiser params
+(trainer.py:180-184, configs/base_new.json lr_base).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from amuse_tpu.core import motion as motion_mod
+from amuse_tpu.core import smplx as smplx_mod
+from amuse_tpu.diffusion import add_noise, ddim_sample, make_schedule
+from amuse_tpu.models.denoiser import Denoiser, DenoiserConfig
+from amuse_tpu.models.vae import MotionPrior, PriorConfig
+from amuse_tpu.train import losses as L
+
+
+@dataclass(frozen=True)
+class GestureTrainConfig:
+    learning_rate: float = 1e-4  # configs/base_new.json lr_base
+    batch_size: int = 32  # configs/base_new.json:281
+    epochs: int = 12_000  # configs/base_new.json:293
+    num_inference_steps: int = 50
+    monitor_every: int = 1  # reference runs the DDIM monitor every step
+    vtex_displacement: bool = True  # configs/base_new.json vtex_displacement
+    checkpoint_every: int = 200  # model_save_freq
+
+
+class TrainState(NamedTuple):
+    params: dict  # {"prior": ..., "denoiser": ...}
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_optimizer(cfg: GestureTrainConfig) -> optax.GradientTransformation:
+    return optax.adamw(cfg.learning_rate)
+
+
+def init_state(
+    rng: jax.Array,
+    prior_cfg: PriorConfig = PriorConfig(),
+    denoiser_cfg: DenoiserConfig = DenoiserConfig(),
+    cfg: GestureTrainConfig = GestureTrainConfig(),
+) -> TrainState:
+    k1, k2 = jax.random.split(rng)
+    prior = MotionPrior(prior_cfg)
+    prior_params = prior.init(
+        k1, jnp.zeros((1, prior_cfg.window, prior_cfg.nfeats)), jax.random.key(0)
+    )["params"]
+    denoiser = Denoiser(denoiser_cfg)
+    den_params = denoiser.init(
+        k2,
+        jnp.zeros((1, denoiser_cfg.latent_tokens, denoiser_cfg.latent_dim)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, denoiser_cfg.cond_dim)),
+        jnp.zeros((1, denoiser_cfg.cond_dim)),
+        jnp.zeros((1, denoiser_cfg.cond_dim)),
+    )["params"]
+    params = {"prior": prior_params, "denoiser": den_params}
+    opt_state = make_optimizer(cfg).init(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(
+    prior_cfg: PriorConfig = PriorConfig(),
+    denoiser_cfg: DenoiserConfig = DenoiserConfig(),
+    cfg: GestureTrainConfig = GestureTrainConfig(),
+    smplx_model: Optional[smplx_mod.SmplxModel] = None,
+    with_monitor: bool = True,
+):
+    """Build the jitted LPDM train step.
+
+    batch dict (leading dim = windows, sharded over the data axis):
+      motion (B, 300, 168) raw axis-angle+trans   [dm LMDB tuple slot 0]
+      con/emo/sty (B, 256) frozen AST features    [slots 4-6]
+      betas (B, 300) per-actor MoSh betas         [ld_attr -> subject betas]
+    """
+    prior = MotionPrior(prior_cfg)
+    denoiser = Denoiser(denoiser_cfg)
+    schedule = make_schedule()
+    optimizer = make_optimizer(cfg)
+    do_vtex = cfg.vtex_displacement and smplx_model is not None
+
+    def vertices(poses_aa, trans, betas):
+        """(B, T, 55, 3) aa + (B, T, 3) + (B, n_betas) -> (B, T, V, 3)."""
+        b, t = poses_aa.shape[:2]
+        flat_poses = poses_aa.reshape(b * t, -1)
+        flat_trans = trans.reshape(b * t, 3)
+        nb = smplx_model.shapedirs.shape[-1] - 10
+        flat_betas = jnp.broadcast_to(
+            betas[:, None, :nb], (b, t, min(nb, betas.shape[-1]))
+        ).reshape(b * t, -1)
+        out = smplx_mod.forward_batch(smplx_model, flat_poses, flat_betas, flat_trans)
+        return out["vertices"].reshape(b, t, -1, 3)
+
+    def loss_fn(params, batch, rng):
+        r_enc, r_enc2, r_t, r_noise, r_ddim = jax.random.split(rng, 5)
+        m6 = motion_mod.axis_angle_to_feats6d(batch["motion"])  # trainer.py:363-369
+
+        # ---- VAE pass (grad)
+        z, (mu, logvar) = prior.apply({"params": params["prior"]}, m6, r_enc, method="encode")
+        m_rst = prior.apply(
+            {"params": params["prior"]}, z, prior_cfg.window, method="decode"
+        )
+
+        # ---- diffusion pass (grad to denoiser only; trainer.py:407-410)
+        z_sg = jax.lax.stop_gradient(
+            prior.apply({"params": params["prior"]}, m6, r_enc2, method="encode")[0]
+        )
+        b = m6.shape[0]
+        t = jax.random.randint(r_t, (b,), 0, schedule.num_train_timesteps)
+        noise = jax.random.normal(r_noise, z_sg.shape, jnp.float32)
+        noisy = add_noise(schedule, z_sg, noise, t)
+        noise_pred = denoiser.apply(
+            {"params": params["denoiser"]}, noisy, t,
+            batch["con"], batch["emo"], batch["sty"],
+        )
+
+        # ---- DDIM monitor pass (no grad; trainer.py:413-415)
+        gen_m_rst = None
+        rec_v = gen_v = None
+        if with_monitor:
+            sg_params = jax.lax.stop_gradient(params)
+
+            def denoise_fn(latents, tt):
+                return denoiser.apply(
+                    {"params": sg_params["denoiser"]}, latents, tt,
+                    batch["con"], batch["emo"], batch["sty"],
+                )
+
+            gen_z = ddim_sample(
+                schedule, denoise_fn, r_ddim,
+                (b, denoiser_cfg.latent_tokens, denoiser_cfg.latent_dim),
+                cfg.num_inference_steps,
+            )
+            gen_m_rst = prior.apply(
+                {"params": sg_params["prior"]}, gen_z, prior_cfg.window, method="decode"
+            )
+            if do_vtex:
+                ref_aa, ref_tr = motion_mod.feats6d_to_axis_angle(m6)
+                rst_aa, rst_tr = motion_mod.feats6d_to_axis_angle(
+                    jax.lax.stop_gradient(m_rst)
+                )
+                gen_aa, gen_tr = motion_mod.feats6d_to_axis_angle(gen_m_rst)
+                betas = batch["betas"]
+                v_ref = vertices(ref_aa, ref_tr, betas)
+                rec_v = (vertices(rst_aa, rst_tr, betas), v_ref)
+                gen_v = (vertices(gen_aa, gen_tr, betas), v_ref)
+
+        return L.lpdm_losses(
+            m6, m_rst, mu, logvar, noise, noise_pred, gen_m_rst, rec_v, gen_v
+        )
+
+    @jax.jit
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), logs
+
+    return train_step

@@ -1,0 +1,125 @@
+"""SMPL-X animation export + optional Blender/ffmpeg subprocess bridge.
+
+The real product of the reference's render path is the SMPL-X npz it writes
+per 10 s window (models/diffusion/viz/visualizer.py:215-225): keys ``poses``
+(T, 55, 3), ``trans`` (T, 3), ``gender``, ``betas``, ``mocap_frame_rate``.
+Blender + ffmpeg then turn that npz into an mp4 - pure CPU post-processing,
+kept here as optional subprocess wrappers gated on binary availability.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from amuse_tpu.data.actors import subject_to_gender_beta
+
+
+def write_smplx_npz(
+    path,
+    poses: np.ndarray,  # (T, 55, 3) axis-angle
+    trans: np.ndarray,  # (T, 3)
+    subject: str = "",
+    gender: str | None = None,
+    betas: np.ndarray | None = None,
+    fps: float = 30.0,
+) -> Path:
+    """Write the Blender-compatible SMPL-X npz (visualizer.py:215-225 layout)."""
+    if gender is None or betas is None:
+        g, b = subject_to_gender_beta(subject)
+        gender = gender or g
+        betas = betas if betas is not None else b
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(
+        path,
+        poses=np.asarray(poses, np.float64),
+        trans=np.asarray(trans, np.float64),
+        gender=gender,
+        betas=np.asarray(betas, np.float64),
+        mocap_frame_rate=np.array(fps, dtype="float64"),
+    )
+    return path
+
+
+def export_windows(
+    out_dir,
+    result: dict,
+    subject: str = "",
+    stem: str = "motion",
+) -> list[Path]:
+    """Export each generated 10 s window as seq_{i}/<subject>_..._smplx.npz.
+
+    Mirrors the per-window directory layout of animate_ldm_sample_v2
+    (visualizer.py:178-225) without the Blender/ffmpeg steps.
+    """
+    out_dir = Path(out_dir)
+    paths = []
+    for i, (poses, trans) in enumerate(zip(result["poses"], result["trans"])):
+        p = out_dir / f"seq_{i}" / f"{subject}_{stem}_seq{i}_smplx.npz"
+        paths.append(
+            write_smplx_npz(p, poses, trans, subject=subject, fps=result.get("fps", 30.0))
+        )
+    return paths
+
+
+def have_binary(name: str) -> bool:
+    return shutil.which(name) is not None
+
+
+def render_with_blender(
+    npz_path, out_video, blender_exe: str = "blender", render_script=None, fps: float = 30.0
+) -> bool:
+    """Spawn Blender to render an npz -> mp4 (visualizer.py:229 pattern).
+
+    Returns False (no-op) when Blender is unavailable - rendering is an
+    optional CPU post-process, never part of the TPU path.
+    """
+    if not have_binary(blender_exe) or render_script is None:
+        return False
+    subprocess.run(
+        [blender_exe, "-b", "-P", str(render_script), "--", str(npz_path), str(out_video), str(fps)],
+        check=True,
+    )
+    return True
+
+
+def mux_audio(video_in, audio_in, video_out) -> bool:
+    """ffmpeg audio mux (visualizer.py:233-236 pattern); no-op without ffmpeg."""
+    if not have_binary("ffmpeg"):
+        return False
+    subprocess.run(
+        ["ffmpeg", "-y", "-i", str(video_in), "-i", str(audio_in),
+         "-c:v", "copy", "-c:a", "aac", str(video_out)],
+        check=True,
+    )
+    return True
+
+
+def concat_grid(videos, out_video, cols: int = 2) -> bool:
+    """ffmpeg xstack grid compositing of result videos.
+
+    Replaces the editing-task grid composites (trainer.py:955-1011,
+    custom_vid_concats.py) with a single filtergraph call.
+    """
+    if not have_binary("ffmpeg") or not videos:
+        return False
+    n = len(videos)
+    rows = (n + cols - 1) // cols
+    inputs = []
+    for v in videos:
+        inputs += ["-i", str(v)]
+    layout = "|".join(
+        f"{(i % cols)}_{(i // cols)}".replace("0_", "0_", 1)
+        and f"{'+'.join(['w0'] * (i % cols)) or '0'}_{'+'.join(['h0'] * (i // cols)) or '0'}"
+        for i in range(n)
+    )
+    filtergraph = f"xstack=inputs={n}:layout={layout}"
+    subprocess.run(
+        ["ffmpeg", "-y", *inputs, "-filter_complex", filtergraph, str(out_video)],
+        check=True,
+    )
+    return True

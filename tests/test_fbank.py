@@ -110,9 +110,11 @@ class TestChunkPipeline:
     def test_real_wav_statistics_near_beat_recorded(self):
         # The recorded BEAT stats are mean=-9.17, std=5.06 over speech fbanks;
         # any real 16 kHz speech file must land in the same ballpark.
+        from amuse_tpu.audio.wavio import load_wav_resampled
+
         wavs = sorted(REF_WAV.glob("*.wav"))
         assert wavs, "no reference wavs found"
-        wave, sr = load_wav(wavs[0])
+        wave = load_wav_resampled(wavs[0])  # demo wavs are 44.1 kHz
         chunks = fb.window_waveform(wave)
         raw = np.asarray(fb.wav_chunk_to_fbank(jnp.asarray(chunks[0]), normalized=False))
         speech_part = raw[:998]  # exclude padding
@@ -129,8 +131,12 @@ class TestChunkPipeline:
         # reference quirk mode: windows shifted by one sample
         assert quirk[1][0] - quirk[0][0] == 1.0
 
-    def test_mel_bank_rows_sum_positive(self):
+    def test_mel_bank_structure(self):
         bank = fb._mel_bank_np()
         assert bank.shape == (257, 128)
         assert bank[256].sum() == 0.0  # Nyquist column dropped
-        assert (bank.sum(axis=0) > 0).all()
+        # With 128 bins over [20, 8000] Hz the narrowest low-frequency
+        # triangles can miss every 31.25 Hz FFT grid point (true of Kaldi
+        # too); the overwhelming majority must still have support.
+        assert (bank.sum(axis=0) > 0).sum() >= 120
+        assert bank.sum() > 0

@@ -1,0 +1,119 @@
+"""Invariant tests for the JAX SMPL-X forward on a tiny synthetic rig.
+
+(The published SMPL-X model npz files are licensed and not present in CI;
+the LBS math is validated structurally: rest pose = template, rigid global
+rotation, translation equivariance, jit/vmap compatibility.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amuse_tpu.core import smplx
+from amuse_tpu.core.rotations import axis_angle_to_matrix
+
+
+def make():
+    return smplx.make_test_model()
+
+
+class TestRestPose:
+    def test_zero_pose_zero_betas_is_template(self):
+        m = make()
+        out = smplx.forward(
+            m,
+            jnp.zeros(m.num_joints * 3),
+            jnp.zeros(8),
+            jnp.zeros(3),
+            expression=jnp.zeros(0),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["vertices"]), np.asarray(m.v_template), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["joints"]),
+            np.asarray(m.j_regressor @ m.v_template),
+            atol=1e-5,
+        )
+
+    def test_betas_shift_by_shapedirs(self):
+        m = make()
+        betas = jnp.asarray(np.random.default_rng(1).normal(size=8), jnp.float32)
+        out = smplx.forward(
+            m, jnp.zeros(m.num_joints * 3), betas, jnp.zeros(3), expression=jnp.zeros(0)
+        )
+        expected = m.v_template + jnp.einsum("vck,k->vc", m.shapedirs, betas)
+        np.testing.assert_allclose(np.asarray(out["vertices"]), np.asarray(expected), atol=1e-5)
+
+
+class TestKinematics:
+    def test_translation_equivariance(self):
+        m = make()
+        poses = jnp.asarray(
+            0.3 * np.random.default_rng(2).normal(size=m.num_joints * 3), jnp.float32
+        )
+        betas = jnp.zeros(8)
+        t = jnp.asarray([1.0, -2.0, 0.5])
+        a = smplx.forward(m, poses, betas, jnp.zeros(3), expression=jnp.zeros(0))
+        b = smplx.forward(m, poses, betas, t, expression=jnp.zeros(0))
+        np.testing.assert_allclose(
+            np.asarray(b["vertices"]), np.asarray(a["vertices"] + t), atol=1e-5
+        )
+
+    def test_global_orient_is_rigid_rotation_about_root(self):
+        m = make()
+        aa_root = jnp.asarray([0.0, 0.0, np.pi / 2], jnp.float32)
+        poses = jnp.zeros(m.num_joints * 3).at[:3].set(aa_root)
+        # zero pose correctives for a pure rigid check
+        m0 = m._replace(posedirs=jnp.zeros_like(m.posedirs))
+        out = smplx.forward(m0, poses, jnp.zeros(8), jnp.zeros(3), expression=jnp.zeros(0))
+        root = np.asarray(m.j_regressor @ m.v_template)[0]
+        rot = np.asarray(axis_angle_to_matrix(aa_root))
+        expected = (np.asarray(m.v_template) - root) @ rot.T + root
+        np.testing.assert_allclose(np.asarray(out["vertices"]), expected, atol=1e-4)
+
+    def test_distal_joint_rotation_leaves_template_root_chain(self):
+        # Rotating the last joint of the chain must not move the root.
+        m = make()
+        poses = jnp.zeros(m.num_joints * 3).at[-3:].set(jnp.asarray([0.5, 0.2, -0.1]))
+        m0 = m._replace(posedirs=jnp.zeros_like(m.posedirs))
+        out = smplx.forward(m0, poses, jnp.zeros(8), jnp.zeros(3), expression=jnp.zeros(0))
+        rest_joints = np.asarray(m.j_regressor @ m.v_template)
+        np.testing.assert_allclose(np.asarray(out["joints"][0]), rest_joints[0], atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out["joints"][:-1]), rest_joints[:-1], atol=1e-5
+        )
+
+
+class TestBatchedAndJitted:
+    def test_forward_batch_shapes(self):
+        m = make()
+        n = 4
+        rng = np.random.default_rng(3)
+        poses = jnp.asarray(0.1 * rng.normal(size=(n, m.num_joints * 3)), jnp.float32)
+        betas = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+        transl = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        out = smplx.forward_batch(m, poses, betas, transl, expression=jnp.zeros(0))
+        assert out["vertices"].shape == (n, m.num_vertices, 3)
+        assert out["joints"].shape == (n, m.num_joints, 3)
+
+    def test_jit_with_model_closed_over(self):
+        m = make()
+
+        @jax.jit
+        def f(poses, betas, transl):
+            return smplx.forward_batch(m, poses, betas, transl, expression=jnp.zeros(0))
+
+        out = f(jnp.zeros((2, m.num_joints * 3)), jnp.zeros((2, 8)), jnp.zeros((2, 3)))
+        assert bool(jnp.all(jnp.isfinite(out["vertices"])))
+
+    def test_grad_flows_through_poses(self):
+        m = make()
+
+        def loss(poses):
+            out = smplx.forward(m, poses, jnp.zeros(8), jnp.zeros(3), expression=jnp.zeros(0))
+            return jnp.sum(out["vertices"] ** 2)
+
+        g = jax.grad(loss)(jnp.full((m.num_joints * 3,), 0.1))
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.abs(g).sum()) > 0

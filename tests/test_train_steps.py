@@ -1,0 +1,152 @@
+"""End-to-end smoke + behaviour tests for both training steps and the
+multi-device data-parallel path (tiny model configs, 8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from amuse_tpu.core import smplx as smplx_mod
+from amuse_tpu.models.denoiser import DenoiserConfig
+from amuse_tpu.models.vae import PriorConfig
+from amuse_tpu.parallel import make_mesh
+from amuse_tpu.train import gesture
+from amuse_tpu.train.losses import ast_swap_losses, lpdm_losses, smooth_l1
+
+PRIOR = PriorConfig(nfeats=333, latent_dim=16, ff_size=32, num_layers=3, num_heads=2, window=12)
+DEN = DenoiserConfig(latent_dim=16, ff_size=32, num_layers=3, num_heads=2, cond_dim=24)
+CFG = gesture.GestureTrainConfig(num_inference_steps=3, vtex_displacement=False)
+
+
+def tiny_batch(b=2):
+    rng = np.random.default_rng(0)
+    return {
+        "motion": jnp.asarray(rng.normal(scale=0.1, size=(b, 12, 168)), jnp.float32),
+        "con": jnp.asarray(rng.normal(size=(b, 24)), jnp.float32),
+        "emo": jnp.asarray(rng.normal(size=(b, 24)), jnp.float32),
+        "sty": jnp.asarray(rng.normal(size=(b, 24)), jnp.float32),
+        "betas": jnp.zeros((b, 8)),
+    }
+
+
+class TestGestureTrainStep:
+    def test_loss_decreases_and_params_update(self):
+        state = gesture.init_state(jax.random.key(0), PRIOR, DEN, CFG)
+        step = gesture.make_train_step(PRIOR, DEN, CFG, None, with_monitor=False)
+        batch = tiny_batch()
+        p0 = jax.tree.leaves(state.params)[0].copy()
+        losses = []
+        for i in range(5):
+            state, logs = step(state, batch, jax.random.key(i))
+            losses.append(float(logs["recons_feature"] + logs["inst_loss"]))
+        assert not np.allclose(np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p0))
+        assert all(np.isfinite(losses))
+        assert int(state.step) == 5
+
+    def test_monitor_pass_produces_gen_metrics(self):
+        state = gesture.init_state(jax.random.key(0), PRIOR, DEN, CFG)
+        smplx_model = smplx_mod.make_test_model()
+        cfg = gesture.GestureTrainConfig(num_inference_steps=3, vtex_displacement=True)
+        step = gesture.make_train_step(PRIOR, DEN, cfg, smplx_model, with_monitor=True)
+        state, logs = step(state, tiny_batch(), jax.random.key(0))
+        for k in ["gen_feature", "rec_vtex_displacement", "gen_vtex_displacement"]:
+            assert k in logs and np.isfinite(float(logs[k]))
+
+    def test_monitor_terms_carry_no_gradient(self):
+        # Total includes monitors, but grads must equal the no-monitor grads.
+        state = gesture.init_state(jax.random.key(0), PRIOR, DEN, CFG)
+        batch = tiny_batch()
+        s_mon = gesture.make_train_step(PRIOR, DEN, CFG, None, with_monitor=True)
+        s_off = gesture.make_train_step(PRIOR, DEN, CFG, None, with_monitor=False)
+        st1, _ = s_mon(state, batch, jax.random.key(7))
+        st2, _ = s_off(state, batch, jax.random.key(7))
+        a = jax.tree.leaves(st1.params)
+        b = jax.tree.leaves(st2.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+    def test_data_parallel_mesh_matches_single_device(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        state = gesture.init_state(jax.random.key(0), PRIOR, DEN, CFG)
+        step = gesture.make_train_step(PRIOR, DEN, CFG, None, with_monitor=False)
+        batch = tiny_batch(b=8)
+
+        # single-device result
+        st_single, logs_single = step(state, batch, jax.random.key(3))
+
+        # sharded result
+        data_s = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        batch_sh = jax.tree.map(lambda x: jax.device_put(x, data_s), batch)
+        state_sh = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+        with mesh:
+            st_shard, logs_shard = step(state_sh, batch_sh, jax.random.key(3))
+        np.testing.assert_allclose(
+            float(logs_single["total"]), float(logs_shard["total"]), rtol=1e-4
+        )
+        for x, y in zip(jax.tree.leaves(st_single.params), jax.tree.leaves(st_shard.params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5)
+
+
+class TestLossFunctions:
+    def test_smooth_l1_matches_torch_definition(self):
+        x = jnp.asarray([0.0, 0.5, 1.0, 2.0, -3.0])
+        y = jnp.zeros(5)
+        # elementwise: [0, .125, .5, 1.5, 2.5] -> mean = 0.925
+        np.testing.assert_allclose(float(smooth_l1(x, y)), 0.925, rtol=1e-6)
+
+    def test_lpdm_losses_totals(self):
+        b = 2
+        m = jnp.ones((b, 4, 6))
+        total, logs = lpdm_losses(
+            m, m, jnp.zeros((b, 1, 3)), jnp.zeros((b, 1, 3)),
+            jnp.ones((b, 1, 3)), jnp.ones((b, 1, 3)),
+        )
+        assert float(total) == 0.0
+        assert set(logs) == {"recons_feature", "kl_motion", "inst_loss", "total"}
+
+    def test_ast_swap_losses_shapes(self):
+        b = 2
+        rng = np.random.default_rng(1)
+        recons = jnp.asarray(rng.normal(size=(16, b, 8, 4)), jnp.float32)
+        clean = jnp.asarray(rng.normal(size=(4, b, 8, 4)), jnp.float32)
+        emo_logits = jnp.asarray(rng.normal(size=(4, b, 8)), jnp.float32)
+        sty_logits = jnp.asarray(rng.normal(size=(4, b, 30)), jnp.float32)
+        con = jnp.asarray(rng.normal(size=(4, b, 16)), jnp.float32)
+        total, logs = ast_swap_losses(
+            recons, clean, emo_logits, sty_logits, con,
+            jnp.zeros(b, jnp.int32), jnp.ones(b, jnp.int32), jnp.full(b, 2, jnp.int32),
+        )
+        assert np.isfinite(float(total))
+        assert 0 <= float(logs["emo_acc"]) <= 100
+
+    def test_perfect_recon_zero_loss_components(self):
+        b = 1
+        clean = jnp.ones((4, b, 8, 4))
+        recons = jnp.tile(clean, (4, 1, 1, 1))
+        # logits strongly peaked at the right labels
+        emo_logits = jnp.zeros((4, b, 8)).at[..., 3].set(100.0)
+        sty_logits = jnp.zeros((4, b, 30)).at[..., 5].set(100.0)
+        con = jnp.ones((4, b, 16))
+        total, logs = ast_swap_losses(
+            recons, clean, emo_logits, sty_logits, con,
+            jnp.full(b, 3, jnp.int32), jnp.full(b, 5, jnp.int32), jnp.full(b, 5, jnp.int32),
+        )
+        np.testing.assert_allclose(float(total), 0.0, atol=1e-5)
+        assert float(logs["emo_acc"]) == 100.0
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (32, 1, 128)
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
