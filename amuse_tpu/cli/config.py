@@ -1,0 +1,155 @@
+"""Immutable hierarchical configuration.
+
+Replaces the reference's layered *mutating* config system (JSON bases +
+YAML overrides deep-merged and WRITTEN BACK into the config files on disk
+before every run, scripts/main.py:245-266, plus ad-hoc runtime mutation) with
+frozen dataclasses + a pure override merge: configs are values, never state.
+
+The knob surface mirrors the reference's (SURVEY §5): data paths, stage-1
+(wav_dtw_mfcc), stage-2 (latent_diffusion / motionprior), test/editing block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    data_root: str = "data/beat_english_v0.2.1"
+    mosh_root: str = "data/moshed_v1/smplxflame_30"
+    cache_dir: str = "processed/stage2_cache"
+    stage1_dataset: str = "processed/stage1_quads.npz"
+    smplx_model_dir: str = "data/smplx_models"  # SMPLX_{NEUTRAL,...}.npz
+    fps: int = 30
+    window_frames: int = 300
+    sample_rate: int = 16_000
+
+
+@dataclass(frozen=True)
+class AudioStageConfig:
+    """Stage-1 knobs (configs/base_new.json wav_dtw_mfcc block)."""
+
+    batch_size: int = 1
+    learning_rate: float = 1e-5
+    weight_decay: float = 5e-7
+    beta1: float = 0.95
+    beta2: float = 0.999
+    lr_decay_start_epoch: int = 5
+    lr_decay_gamma: float = 0.85
+    epochs: int = 25
+    num_mel_bins: int = 128
+    target_length: int = 1024
+    freq_mask: int = 24
+    time_mask: int = 96
+    dataset_mean: float = -9.173025
+    dataset_std: float = 5.062332
+    frame_based_feats: bool = True
+    noise: bool = True
+    ablation: str = "full"  # full | emotion | identity | ast_baseline
+
+
+@dataclass(frozen=True)
+class GestureStageConfig:
+    """Stage-2 knobs (configs/base_new.json latent_diffusion +
+    prior_emotional_fing.json + diff_latent_v2.json)."""
+
+    batch_size: int = 32
+    learning_rate: float = 1e-4
+    epochs: int = 12_000
+    model_save_freq: int = 200
+    smplx_rep: str = "6D"  # 6D | 3D
+    skip_trans: bool = False
+    train_upper_body: bool = False
+    vtex_displacement: bool = True
+    monitor_every: int = 1
+    # prior / denoiser arch
+    latent_dim: int = 128
+    ff_size: int = 512
+    num_layers: int = 9
+    num_heads: int = 4
+    dropout: float = 0.1
+    cond_dim: int = 256
+    # diffusion
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    num_inference_steps: int = 50
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    """Editing/eval tasks (configs/base_new.json test block)."""
+
+    style_transfer: bool = False
+    emotion_control: bool = False
+    style_xemo_transfer: bool = False
+    content_control: bool = False
+    replication_times: int = 1
+    actors: tuple = ()
+    emotion: str = "happy"
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = DataConfig()
+    audio: AudioStageConfig = AudioStageConfig()
+    gesture: GestureStageConfig = GestureStageConfig()
+    test: TestConfig = TestConfig()
+    seed: int = 2021
+    debug: bool = False
+    out_dir: str = "runs"
+    dtype: str = "bfloat16"
+
+
+def _merge(cfg: Any, overrides: dict) -> Any:
+    """Pure recursive override: returns a NEW frozen config."""
+    updates = {}
+    for f in dataclasses.fields(cfg):
+        if f.name not in overrides:
+            continue
+        v = overrides[f.name]
+        cur = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            updates[f.name] = _merge(cur, v)
+        else:
+            updates[f.name] = tuple(v) if isinstance(cur, tuple) else v
+    return dataclasses.replace(cfg, **updates)
+
+
+def load_config(
+    path: Optional[str] = None, overrides: Optional[dict] = None
+) -> Config:
+    """Base defaults <- optional JSON file <- optional override dict."""
+    cfg = Config()
+    if path:
+        cfg = _merge(cfg, json.loads(Path(path).read_text()))
+    if overrides:
+        cfg = _merge(cfg, overrides)
+    return cfg
+
+
+def dump_config(cfg: Config) -> str:
+    """Experiment snapshot (the reference's _dump_args, trainer.py:1100-1116)."""
+    return json.dumps(dataclasses.asdict(cfg), indent=1)
+
+
+def parse_cli_overrides(pairs: list[str]) -> dict:
+    """["gesture.epochs=100", "debug=true"] -> nested override dict."""
+    out: dict = {}
+    for pair in pairs:
+        key, _, raw = pair.partition("=")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        node = out
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return out

@@ -1,0 +1,260 @@
+"""CLI entry point: the six reference tasks, TPU-native.
+
+``python -m amuse_tpu.cli.main --fn {train_audio, train_gesture,
+infer_gesture, edit_gesture, prepare_data, bvh2smplx_}`` mirrors the
+reference task surface (scripts/main.py:237-243) over this framework's
+config system (immutable; overrides via repeated ``--set key=value``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+def _setup(cfg):
+    import jax
+
+    from amuse_tpu.utils.logging import RunLogger
+
+    run_dir = Path(cfg.out_dir) / time.strftime("%Y%m%d-%H%M%S")
+    if not cfg.debug:
+        run_dir.mkdir(parents=True, exist_ok=True)
+        from amuse_tpu.cli.config import dump_config
+
+        (run_dir / "experiment_args.json").write_text(dump_config(cfg))
+    logger = RunLogger(run_dir if not cfg.debug else None)
+    return run_dir, logger, jax.random.key(cfg.seed)
+
+
+def task_prepare_data(cfg):
+    """Stage-2 cache build: MoSh npz + frozen AST features -> window shards
+    (reference: main.py:118-122 -> dm.latent_diffusion_dm_v2)."""
+    from amuse_tpu.data import beat, cache
+    from amuse_tpu.infer.pipeline import GesturePipeline, init_random_params
+    from amuse_tpu.utils.checkpoint_io import load_pipeline_params
+
+    takes = beat.discover(Path(cfg.data.data_root), Path(cfg.data.mosh_root))
+    subset = beat.stage2_subset(takes)
+    print(f"[prepare_data] {len(subset)} stage-2 takes discovered")
+    params = load_pipeline_params(cfg) or init_random_params()
+    pipe = GesturePipeline(params)
+    cache.build_stage2_cache(subset, Path(cfg.data.cache_dir), pipe.encode_audio)
+
+    # stage-1 quad dataset
+    from amuse_tpu.data import stage1
+
+    per_take = stage1.fbanks_per_take(takes)
+    train = stage1.build_quads(per_take, "train")
+    val = stage1.build_quads(per_take, "val")
+    out = Path(cfg.data.stage1_dataset)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    stage1.save_dataset(out, train, val)
+    print(
+        f"[prepare_data] stage-1 quads: train {train['emo_id'].shape[0]}, "
+        f"val {val['emo_id'].shape[0]} -> {out}"
+    )
+
+
+def task_train_audio(cfg):
+    """Stage-1 AST disentangler training (reference: trainer.train_dtw_ast)."""
+    import jax
+    import numpy as np
+
+    from amuse_tpu.data import stage1
+    from amuse_tpu.parallel import make_mesh, replicate, shard_batch
+    from amuse_tpu.train import audio as ta
+    from amuse_tpu.train.checkpoint import CheckpointManager
+
+    run_dir, logger, key = _setup(cfg)
+    tcfg = ta.AudioTrainConfig(
+        learning_rate=cfg.audio.learning_rate,
+        weight_decay=cfg.audio.weight_decay,
+        beta1=cfg.audio.beta1,
+        beta2=cfg.audio.beta2,
+        lr_decay_start_epoch=cfg.audio.lr_decay_start_epoch,
+        lr_decay_gamma=cfg.audio.lr_decay_gamma,
+        epochs=cfg.audio.epochs,
+        frame_based_feats=cfg.audio.frame_based_feats,
+        freq_mask=cfg.audio.freq_mask,
+        time_mask=cfg.audio.time_mask,
+        noise_aug=cfg.audio.noise,
+    )
+    train, val = stage1.load_dataset(Path(cfg.data.stage1_dataset))
+    mesh = make_mesh()
+    step_fn, set_lr = ta.make_train_step(tcfg)
+    state = ta.init_state(key, tcfg)
+    state = replicate(mesh, state)
+    ckpt = CheckpointManager(run_dir / "checkpoints") if not cfg.debug else None
+    rng = np.random.default_rng(cfg.seed)
+    n_dev = mesh.devices.size
+    bsz = max(cfg.audio.batch_size, n_dev)
+
+    with mesh:
+        for epoch in range(tcfg.epochs):
+            state = set_lr(state, epoch)
+            t0, logs = time.time(), {}
+            for i, batch in enumerate(stage1.batches(train, bsz, rng)):
+                batch = shard_batch(mesh, batch)
+                state, logs = step_fn(state, batch, jax.random.fold_in(key, epoch * 100_000 + i))
+            logger.log(epoch, {f"train_{k}": float(v) for k, v in logs.items()})
+            print(f"[AST-T] epoch {epoch + 1}/{tcfg.epochs} ({time.time() - t0:.1f}s): "
+                  + ", ".join(f"{k}={float(v):.4f}" for k, v in logs.items()))
+            if ckpt:
+                ckpt.save(epoch + 1, state.params, {k: float(v) for k, v in logs.items()})
+
+
+def task_train_gesture(cfg):
+    """Stage-2 LPDM joint training (reference: trainer.train_prior_latdiff_
+    forward_backward_v2)."""
+    import jax
+
+    import numpy as np
+
+    from amuse_tpu.core import smplx as smplx_mod
+    from amuse_tpu.data.cache import WindowCache, betas_for_actor_ids
+    from amuse_tpu.parallel import make_mesh, replicate, shard_batch
+    from amuse_tpu.train import gesture as tg
+    from amuse_tpu.train.checkpoint import CheckpointManager
+
+    run_dir, logger, key = _setup(cfg)
+    g = cfg.gesture
+    tcfg = tg.GestureTrainConfig(
+        learning_rate=g.learning_rate,
+        batch_size=g.batch_size,
+        epochs=g.epochs,
+        num_inference_steps=g.num_inference_steps,
+        monitor_every=g.monitor_every,
+        vtex_displacement=g.vtex_displacement,
+        checkpoint_every=g.model_save_freq,
+    )
+    smplx_path = Path(cfg.data.smplx_model_dir) / "SMPLX_NEUTRAL.npz"
+    smplx_model = smplx_mod.load_model(smplx_path) if smplx_path.exists() else None
+    if g.vtex_displacement and smplx_model is None:
+        print("[LPDM-T] SMPL-X model npz not found; vertex monitor disabled")
+
+    data = WindowCache(Path(cfg.data.cache_dir))
+    mesh = make_mesh()
+    step_fn = tg.make_train_step(smplx_model=smplx_model, cfg=tcfg)
+    state = tg.init_state(key, cfg=tcfg)
+    state = replicate(mesh, state)
+    ckpt = CheckpointManager(run_dir / "checkpoints") if not cfg.debug else None
+    rng = np.random.default_rng(cfg.seed)
+
+    with mesh:
+        for epoch in range(tcfg.epochs):
+            t0, logs = time.time(), {}
+            for i, b in enumerate(data.batches(tcfg.batch_size, rng)):
+                batch = {
+                    "motion": b["motion"],
+                    "con": b["con"],
+                    "emo": b["emo"],
+                    "sty": b["sty"],
+                    "betas": betas_for_actor_ids(b["actor_id"]),
+                }
+                batch = shard_batch(mesh, batch)
+                state, logs = step_fn(state, batch, jax.random.fold_in(key, epoch * 100_000 + i))
+            logger.log(epoch, {f"train_{k}": float(v) for k, v in logs.items()})
+            print(f"[LPDM-T] epoch {epoch + 1}/{tcfg.epochs} ({time.time() - t0:.1f}s): "
+                  + ", ".join(f"{k}={float(v):.6f}" for k, v in logs.items()))
+            if ckpt and (epoch + 1) % tcfg.checkpoint_every == 0:
+                ckpt.save(epoch + 1, state.params, {k: float(v) for k, v in logs.items()})
+
+
+def task_infer_gesture(cfg, wav_dir: str = "viz_dump/test/speech"):
+    """Custom WAV -> SMPL-X npz per 10 s window (reference: trainer.py:500-543)."""
+    from amuse_tpu.audio.wavio import load_wav_resampled
+    from amuse_tpu.infer.pipeline import GesturePipeline, init_random_params
+    from amuse_tpu.utils.checkpoint_io import load_pipeline_params
+    from amuse_tpu.viz.export import export_windows
+
+    run_dir, _, _ = _setup(cfg)
+    params = load_pipeline_params(cfg)
+    if params is None:
+        print("[infer] WARNING: no checkpoint found; using random weights")
+        params = init_random_params()
+    pipe = GesturePipeline(params)
+    wavs = sorted(Path(wav_dir).glob("*.wav"))
+    for wav in wavs:
+        wave = load_wav_resampled(wav)
+        result = pipe.infer_wav(wave, seed=cfg.seed)
+        paths = export_windows(run_dir / "gesture" / wav.stem, result, stem=wav.stem)
+        print(f"[infer] {wav.name}: {len(paths)} windows -> {paths[0].parent.parent}")
+
+
+def task_edit_gesture(cfg):
+    """Editing tasks driven by cfg.test flags (reference: trainer.py:545-1098)."""
+    from amuse_tpu.infer import editing
+    from amuse_tpu.infer.pipeline import GesturePipeline, init_random_params
+    from amuse_tpu.utils.checkpoint_io import load_pipeline_params
+
+    run_dir, _, _ = _setup(cfg)
+    params = load_pipeline_params(cfg) or init_random_params()
+    pipe = GesturePipeline(params)
+
+    # demo path: two wavs, swap emotion (trainer.py:1037-1098)
+    demo_dir = Path("viz_dump/test/e_speech")
+    wavs = sorted(demo_dir.glob("*.wav"))
+    if len(wavs) >= 2:
+        from amuse_tpu.audio.wavio import load_wav_resampled
+        from amuse_tpu.viz.export import export_windows
+
+        out = editing.demo_emotion_swap(
+            pipe, load_wav_resampled(wavs[0]), load_wav_resampled(wavs[1]), cfg.seed
+        )
+        for name, (poses, trans) in out.items():
+            export_windows(
+                run_dir / "e_gesture" / name,
+                {"poses": poses, "trans": trans, "fps": 30.0},
+                stem=name,
+            )
+        print(f"[edit] demo emotion swap -> {run_dir / 'e_gesture'}")
+    else:
+        print(f"[edit] no demo wavs under {demo_dir}; dataset-driven editing "
+              "requires the BEAT cache (see cfg.test flags)")
+
+
+def task_bvh2smplx(cfg):
+    """BVH -> SMPL-X retargeting requires Blender + Auto-Rig-Pro (external
+    native tools, reference: retarget_smpl2bvh2beatnpzWbetas.py). We gate it."""
+    from amuse_tpu.viz.export import have_binary
+
+    if not have_binary("blender"):
+        print("[bvh2smplx_] Blender not available in this environment; this "
+              "step is an external-tool pipeline (see reference docs). The "
+              "training/inference paths consume MoSh npz directly.")
+        return
+    raise NotImplementedError("Blender bridge scripting lands with the viz milestone")
+
+
+TASKS = {
+    "train_audio": task_train_audio,
+    "train_gesture": task_train_gesture,
+    "infer_gesture": task_infer_gesture,
+    "edit_gesture": task_edit_gesture,
+    "prepare_data": task_prepare_data,
+    "bvh2smplx_": task_bvh2smplx,
+}
+
+
+def main(argv=None):
+    from amuse_tpu.cli.config import load_config, parse_cli_overrides
+
+    p = argparse.ArgumentParser(prog="amuse-tpu")
+    p.add_argument("--fn", required=True, choices=sorted(TASKS))
+    p.add_argument("--cfg", default=None, help="JSON config file")
+    p.add_argument("--set", action="append", default=[], help="override key=value")
+    p.add_argument("--wav-dir", default="viz_dump/test/speech")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.cfg, parse_cli_overrides(args.set))
+    if args.fn == "infer_gesture":
+        TASKS[args.fn](cfg, args.wav_dir)
+    else:
+        TASKS[args.fn](cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Training-cache build + loaders (the reference's ``prepare_data`` layer).
+
+Re-design of dm.latent_diffusion_dm_v2 (dm/dm.py:522-692): the reference
+loops take-by-take on one GPU, running the frozen AST per 10 s chunk, then
+serialises pyarrow 7-tuples into LMDB. Here:
+
+  * the AST feature pass is batched across ALL chunks of all takes and
+    sharded over the mesh "data" axis - BEAT-scale cache regeneration is
+    embarrassingly data-parallel (BASELINE.json's ICI target),
+  * the cache is sharded npz files (columnar: one array per field) - no
+    LMDB/pyarrow native deps, memory-mapped reads, trivially resumable
+    (rebuild skips existing shards, mirroring the reference's
+    restartable-preprocessing discipline, SURVEY §5),
+  * window slicing (300 frames <-> one 10 s audio chunk) happens at build
+    time exactly like the reference (dm/dm.py:617-661).
+
+Cache record fields (the 7-tuple, dm/dm.py:663-683):
+  motion (300, 168) f32 | actor_id i32 | emo_label i32 | audio (160000,) f32
+  con/emo/sty (256,) f32
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from amuse_tpu.data import beat as beat_mod
+from amuse_tpu.data.actors import ACTORS
+
+SHARD_WINDOWS = 256  # windows per npz shard
+
+FIELDS = ("motion", "actor_id", "emo_label", "audio", "con", "emo", "sty")
+
+
+def build_stage2_cache(
+    takes: Sequence[beat_mod.Take],
+    out_dir: Path,
+    encode_audio_fn,  # (N, 160000) f32 -> {"con","emo","sty"} (N, 256)
+    window_frames: int = 300,
+    chunk_samples: int = 160_000,
+    reference_quirk_chunking: bool = False,
+    progress: bool = True,
+) -> Path:
+    """Build the stage-2 window cache from MoSh takes + frozen AST features.
+
+    ``encode_audio_fn`` is typically GesturePipeline.encode_audio with
+    imported stage-1 weights - jitted, batched, and (on a mesh) sharded.
+    """
+    from amuse_tpu.audio import fbank as fbank_mod
+    from amuse_tpu.audio.wavio import load_wav_resampled
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    manifest_path = out_dir / "manifest.json"
+    if manifest_path.exists():
+        return out_dir  # restartable: cache already built (dm/dm.py:94-97)
+
+    records = {f: [] for f in FIELDS}
+    for t in takes:
+        motion = beat_mod.load_mosh_motion(t.mosh_npz)
+        wave = load_wav_resampled(t.wav)
+        chunks = fbank_mod.window_waveform(wave, reference_quirk_chunking)
+        cond = encode_audio_fn(chunks.astype(np.float32))
+        con = np.asarray(cond["con"])
+        emo = np.asarray(cond["emo"])
+        sty = np.asarray(cond["sty"])
+        emo_label = (
+            beat_mod.emotion_label(t.emotion_csv) if t.emotion_csv else 0
+        )
+        n_windows = min(motion.shape[0] // window_frames, con.shape[0])
+        for w in range(n_windows):
+            records["motion"].append(
+                motion[w * window_frames : (w + 1) * window_frames]
+            )
+            records["actor_id"].append(t.actor_id - 1)  # 0-based labels
+            records["emo_label"].append(emo_label)
+            records["audio"].append(chunks[w])
+            records["con"].append(con[w])
+            records["emo"].append(emo[w])
+            records["sty"].append(sty[w])
+        if progress:
+            print(f"[cache] {t.actor_name}/{t.take}: {n_windows} windows")
+
+    n = len(records["motion"])
+    shards = []
+    for s in range(0, n, SHARD_WINDOWS):
+        shard_path = out_dir / f"shard_{s // SHARD_WINDOWS:05d}.npz"
+        np.savez_compressed(
+            shard_path,
+            **{f: np.stack(records[f][s : s + SHARD_WINDOWS]) for f in FIELDS},
+        )
+        shards.append(shard_path.name)
+    manifest_path.write_text(
+        json.dumps({"num_windows": n, "shards": shards, "fields": list(FIELDS)}, indent=1)
+    )
+    if progress:
+        print(f"[cache] wrote {n} windows in {len(shards)} shards -> {out_dir}")
+    return out_dir
+
+
+class WindowCache:
+    """Memory-mapped read side of the stage-2 cache (the reference's
+    ``dataload`` Dataset, dm/dataload.py:250-271)."""
+
+    def __init__(self, cache_dir):
+        self.dir = Path(cache_dir)
+        manifest = json.loads((self.dir / "manifest.json").read_text())
+        self.num_windows = manifest["num_windows"]
+        self._shards = [np.load(self.dir / s) for s in manifest["shards"]]
+        self._lens = [s["actor_id"].shape[0] for s in self._shards]
+        self._starts = np.cumsum([0] + self._lens)
+
+    def __len__(self):
+        return self.num_windows
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        s = int(np.searchsorted(self._starts, idx, "right") - 1)
+        o = idx - self._starts[s]
+        return {f: self._shards[s][f][o] for f in FIELDS}
+
+    def batches(
+        self,
+        batch_size: int,
+        rng: Optional[np.random.Generator] = None,
+        drop_remainder: bool = True,
+        include_audio: bool = False,
+    ) -> Iterator[dict[str, np.ndarray]]:
+        """Shuffled epoch of stacked batches ready for device_put.
+
+        Yields {"motion", "con", "emo", "sty", "emo_label", "actor_id"
+        [, "audio"]}; the train step adds betas via the actor table.
+        """
+        order = np.arange(len(self))
+        if rng is not None:
+            rng.shuffle(order)
+        fields = [f for f in FIELDS if include_audio or f != "audio"]
+        for i in range(0, len(order) - (batch_size - 1 if drop_remainder else 0), batch_size):
+            idx = order[i : i + batch_size]
+            if drop_remainder and len(idx) < batch_size:
+                break
+            items = [self[int(j)] for j in idx]
+            yield {f: np.stack([it[f] for it in items]) for f in fields}
+
+
+def betas_for_actor_ids(actor_ids: np.ndarray) -> np.ndarray:
+    """(B,) 0-based actor ids -> (B, 300) betas via the actor table."""
+    from amuse_tpu.data.actors import subject_to_gender_beta
+
+    names = [ACTORS[int(i) + 1].name for i in actor_ids]
+    return np.stack([subject_to_gender_beta(n)[1] for n in names]).astype(np.float32)

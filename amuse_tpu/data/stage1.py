@@ -1,0 +1,149 @@
+"""Stage-1 dataset: (actor1, actor2) x (take1, take2) fbank quads.
+
+Re-design of dm.DTW_align_dm_ast (dm/dm.py:409-520) + the stage-1 side of
+``dataload`` (dm/dataload.py:222-248):
+
+  * per take: 10 s chunks -> Kaldi fbank (our jitted front-end, batched on
+    device instead of the reference's CPU-loop torchaudio calls),
+  * pair construction: all 2-combinations of training actors x the two
+    recorded takes of each emotion x common chunk count
+    (dm/dm.py:459-498); split = actors policy with the reference's
+    val actors {nidal, li, kexin} and dropped {yingqing, goto},
+  * normalisation with the recorded BEAT stats; SpecAugment/noise happen
+    *inside the jitted train step* (amuse_tpu.train.audio.spec_augment),
+    not in the loader - the TPU does the augmentation math.
+
+The built dataset is one npz of fbank quads + labels; at BEAT scale the
+fbank pass shards over the mesh like the stage-2 cache build.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from amuse_tpu.data import beat as beat_mod
+from amuse_tpu.data.actors import (
+    ACTORS,
+    EMOTIONS,
+    PRETRAINED_TAKES,
+    STAGE1_DROPPED_ACTORS,
+    STAGE1_VAL_ACTORS,
+)
+
+
+def fbanks_per_take(
+    takes: Sequence[beat_mod.Take],
+    fbank_fn=None,  # (N, 160000) -> (N, 1024, 128) normalised fbanks
+    min_frames: int = 300,
+) -> dict[tuple[int, str], dict]:
+    """{(actor_id, take): {"fbanks": (C, 1024, 128), "emo": int}}.
+
+    Chunks shorter than 300 fbank frames are dropped (dm/dm.py:431).
+    """
+    import jax.numpy as jnp
+
+    from amuse_tpu.audio import fbank as fb
+    from amuse_tpu.audio.wavio import load_wav_resampled
+
+    if fbank_fn is None:
+        fbank_fn = lambda c: np.asarray(fb.wav_chunk_to_fbank(jnp.asarray(c)))  # noqa: E731
+
+    out = {}
+    for t in takes:
+        if t.wav is None:
+            continue
+        wave = load_wav_resampled(t.wav)
+        if wave.shape[-1] < fb.CHUNK_SAMPLES:
+            continue
+        chunks = fb.window_waveform(wave)
+        fbanks = fbank_fn(chunks.astype(np.float32))
+        emo = beat_mod.emotion_label(t.emotion_csv) if t.emotion_csv else 0
+        out[(t.actor_id, t.take)] = {"fbanks": fbanks, "emo": emo}
+    return out
+
+
+def build_quads(
+    per_take: dict[tuple[int, str], dict],
+    split: str = "train",
+) -> dict[str, np.ndarray]:
+    """Quad records for one split (dm/dm.py:453-498).
+
+    Returns {"fbanks": (N, 4, 1024, 128), "emo_id": (N,), "a1_id": (N,),
+    "a2_id": (N,)} with 0-based actor labels.
+    """
+    val_ids = {a.index for a in ACTORS.values() if a.name in STAGE1_VAL_ACTORS}
+    drop_ids = {a.index for a in ACTORS.values() if a.name in STAGE1_DROPPED_ACTORS}
+    if split == "train":
+        ids = [i for i in sorted(ACTORS) if i not in val_ids and i not in drop_ids]
+    elif split == "val":
+        ids = sorted(val_ids)
+    else:
+        raise ValueError(split)
+
+    fbanks, emo_id, a1_id, a2_id = [], [], [], []
+    for a1, a2 in itertools.combinations(ids, 2):
+        for emotion in EMOTIONS:
+            t1, t2 = PRETRAINED_TAKES[emotion]
+            for ta, tb in itertools.combinations((t1, t2), 2):
+                entries = [
+                    per_take.get((a1, ta)), per_take.get((a1, tb)),
+                    per_take.get((a2, ta)), per_take.get((a2, tb)),
+                ]
+                if any(e is None for e in entries):
+                    continue
+                n_chunks = min(e["fbanks"].shape[0] for e in entries)
+                emos = {e["emo"] for e in entries}
+                if len(emos) != 1:
+                    continue  # reference asserts equality (dm/dm.py:473-485)
+                for c in range(n_chunks):
+                    fbanks.append(np.stack([e["fbanks"][c] for e in entries]))
+                    emo_id.append(entries[0]["emo"])
+                    a1_id.append(a1 - 1)
+                    a2_id.append(a2 - 1)
+    if not fbanks:
+        return {
+            "fbanks": np.zeros((0, 4, 1024, 128), np.float32),
+            "emo_id": np.zeros(0, np.int32),
+            "a1_id": np.zeros(0, np.int32),
+            "a2_id": np.zeros(0, np.int32),
+        }
+    return {
+        "fbanks": np.stack(fbanks).astype(np.float32),
+        "emo_id": np.asarray(emo_id, np.int32),
+        "a1_id": np.asarray(a1_id, np.int32),
+        "a2_id": np.asarray(a2_id, np.int32),
+    }
+
+
+def save_dataset(path: Path, train: dict, val: dict) -> None:
+    np.savez_compressed(
+        path,
+        **{f"train_{k}": v for k, v in train.items()},
+        **{f"val_{k}": v for k, v in val.items()},
+    )
+
+
+def load_dataset(path: Path) -> tuple[dict, dict]:
+    d = np.load(path)
+    train = {k[len("train_"):]: d[k] for k in d.files if k.startswith("train_")}
+    val = {k[len("val_"):]: d[k] for k in d.files if k.startswith("val_")}
+    return train, val
+
+
+def batches(
+    data: dict[str, np.ndarray],
+    batch_size: int,
+    rng: Optional[np.random.Generator] = None,
+) -> Iterator[dict[str, np.ndarray]]:
+    n = data["emo_id"].shape[0]
+    order = np.arange(n)
+    if rng is not None:
+        rng.shuffle(order)
+    for i in range(0, n - batch_size + 1, batch_size):
+        idx = order[i : i + batch_size]
+        yield {k: v[idx] for k, v in data.items()}

@@ -26,7 +26,7 @@ import numpy as np
 from amuse_tpu.audio import fbank as fbank_mod
 from amuse_tpu.core import motion as motion_mod
 from amuse_tpu.diffusion import ddim_sample, make_schedule
-from amuse_tpu.models.ast import ASTDisentangler
+from amuse_tpu.models.ast import ASTConfig, ASTDisentangler
 from amuse_tpu.models.denoiser import Denoiser, DenoiserConfig
 from amuse_tpu.models.vae import MotionPrior, PriorConfig
 
@@ -52,13 +52,14 @@ class GesturePipeline:
         params: PipelineParams,
         prior_cfg: PriorConfig = PriorConfig(),
         denoiser_cfg: DenoiserConfig = DenoiserConfig(),
+        ast_cfg: ASTConfig = ASTConfig(),
         dtype=jnp.bfloat16,
         num_inference_steps: int = 50,
     ):
         self.params = params
         self.prior_cfg = prior_cfg
         self.denoiser_cfg = denoiser_cfg
-        ast = ASTDisentangler(dtype=dtype)
+        ast = ASTDisentangler(dtype=dtype, base_cfg=ast_cfg)
         prior = MotionPrior(prior_cfg)
         denoiser = Denoiser(denoiser_cfg)
         schedule = make_schedule()
@@ -160,12 +161,15 @@ def init_random_params(
     seed: int = 0,
     prior_cfg: PriorConfig = PriorConfig(),
     denoiser_cfg: DenoiserConfig = DenoiserConfig(),
+    ast_cfg: ASTConfig = ASTConfig(),
     dtype=jnp.bfloat16,
 ) -> PipelineParams:
     """Random-weight pipeline params (benchmarks, smoke tests, init)."""
     k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
-    ast = ASTDisentangler(dtype=dtype)
-    ast_params = ast.init(k1, jnp.zeros((1, 1024, 128)))["params"]
+    ast = ASTDisentangler(dtype=dtype, base_cfg=ast_cfg)
+    ast_params = ast.init(
+        k1, jnp.zeros((1, ast_cfg.input_tdim, ast_cfg.input_fdim))
+    )["params"]
     prior = MotionPrior(prior_cfg)
     prior_params = prior.init(
         k2, jnp.zeros((1, prior_cfg.window, prior_cfg.nfeats)), jax.random.key(0)

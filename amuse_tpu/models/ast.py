@@ -260,15 +260,24 @@ class ASTDisentangler(nn.Module):
     """
 
     dtype: jnp.dtype = jnp.float32
+    base_cfg: ASTConfig = ASTConfig()
+    fusion_dim: int = 512
 
     def setup(self):
-        base = ASTConfig(dtype=self.dtype)
-        self.emo_enc = ASTEncoder(ASTConfig(label_dim=8, dtype=self.dtype))
-        self.sty_enc = ASTEncoder(ASTConfig(label_dim=30, dtype=self.dtype))
-        self.con_enc = ASTEncoder(ASTConfig(label_dim=0, dtype=self.dtype))
-        self.fusion = FusionBlock(base.feature_dim * 3, 512, dtype=self.dtype)
-        self.fusion_ablation = FusionBlock(base.feature_dim * 2, 512, dtype=self.dtype)
-        self.decoder = DecoderBlock(dtype=self.dtype)
+        import dataclasses
+
+        base = dataclasses.replace(self.base_cfg, dtype=self.dtype)
+        self.emo_enc = ASTEncoder(dataclasses.replace(base, label_dim=8))
+        self.sty_enc = ASTEncoder(dataclasses.replace(base, label_dim=30))
+        self.con_enc = ASTEncoder(dataclasses.replace(base, label_dim=0))
+        self.fusion = FusionBlock(base.feature_dim * 3, self.fusion_dim, dtype=self.dtype)
+        self.fusion_ablation = FusionBlock(base.feature_dim * 2, self.fusion_dim, dtype=self.dtype)
+        self.decoder = DecoderBlock(
+            in_dim=self.fusion_dim,
+            out_frames=base.input_tdim,
+            out_bins=base.input_fdim,
+            dtype=self.dtype,
+        )
 
     def encode(self, spec, frame_based_feats=True, deterministic=True):
         emo = self.emo_enc(spec, frame_based_feats, deterministic)
@@ -293,5 +302,6 @@ class ASTDisentangler(nn.Module):
             axis=-1,
         )
         fbanks = self.reconstruct(cat, deterministic)
-        _ = self.reconstruct_ablation(cat[:, : 2 * 256], deterministic)  # init params
+        fd = self.base_cfg.feature_dim
+        _ = self.reconstruct_ablation(cat[:, : 2 * fd], deterministic)  # init params
         return fbanks, enc
