@@ -108,10 +108,12 @@ def make_train_step(
         b, t = poses_aa.shape[:2]
         flat_poses = poses_aa.reshape(b * t, -1)
         flat_trans = trans.reshape(b * t, 3)
-        nb = smplx_model.shapedirs.shape[-1] - 10
+        # keep as many betas as the model's coefficient dim allows; the
+        # forward pads the remainder (expression dims) with zeros.
+        nb = min(betas.shape[-1], smplx_model.shapedirs.shape[-1])
         flat_betas = jnp.broadcast_to(
-            betas[:, None, :nb], (b, t, min(nb, betas.shape[-1]))
-        ).reshape(b * t, -1)
+            betas[:, None, :nb], (b, t, nb)
+        ).reshape(b * t, nb)
         out = smplx_mod.forward_batch(smplx_model, flat_poses, flat_betas, flat_trans)
         return out["vertices"].reshape(b, t, -1, 3)
 

@@ -18,6 +18,18 @@ PRIOR = PriorConfig(nfeats=333, latent_dim=16, ff_size=32, num_layers=3, num_hea
 DEN = DenoiserConfig(latent_dim=16, ff_size=32, num_layers=3, num_heads=2, cond_dim=24)
 CFG = gesture.GestureTrainConfig(num_inference_steps=3, vtex_displacement=False)
 
+import functools
+
+
+@functools.cache
+def shared_state():
+    return gesture.init_state(jax.random.key(0), PRIOR, DEN, CFG)
+
+
+@functools.cache
+def shared_step(monitor: bool):
+    return gesture.make_train_step(PRIOR, DEN, CFG, None, with_monitor=monitor)
+
 
 def tiny_batch(b=2):
     rng = np.random.default_rng(0)
@@ -32,8 +44,8 @@ def tiny_batch(b=2):
 
 class TestGestureTrainStep:
     def test_loss_decreases_and_params_update(self):
-        state = gesture.init_state(jax.random.key(0), PRIOR, DEN, CFG)
-        step = gesture.make_train_step(PRIOR, DEN, CFG, None, with_monitor=False)
+        state = shared_state()
+        step = shared_step(False)
         batch = tiny_batch()
         p0 = jax.tree.leaves(state.params)[0].copy()
         losses = []
@@ -45,7 +57,7 @@ class TestGestureTrainStep:
         assert int(state.step) == 5
 
     def test_monitor_pass_produces_gen_metrics(self):
-        state = gesture.init_state(jax.random.key(0), PRIOR, DEN, CFG)
+        state = shared_state()
         smplx_model = smplx_mod.make_test_model()
         cfg = gesture.GestureTrainConfig(num_inference_steps=3, vtex_displacement=True)
         step = gesture.make_train_step(PRIOR, DEN, cfg, smplx_model, with_monitor=True)
@@ -55,10 +67,10 @@ class TestGestureTrainStep:
 
     def test_monitor_terms_carry_no_gradient(self):
         # Total includes monitors, but grads must equal the no-monitor grads.
-        state = gesture.init_state(jax.random.key(0), PRIOR, DEN, CFG)
+        state = shared_state()
         batch = tiny_batch()
-        s_mon = gesture.make_train_step(PRIOR, DEN, CFG, None, with_monitor=True)
-        s_off = gesture.make_train_step(PRIOR, DEN, CFG, None, with_monitor=False)
+        s_mon = shared_step(True)
+        s_off = shared_step(False)
         st1, _ = s_mon(state, batch, jax.random.key(7))
         st2, _ = s_off(state, batch, jax.random.key(7))
         a = jax.tree.leaves(st1.params)
@@ -69,8 +81,8 @@ class TestGestureTrainStep:
     def test_data_parallel_mesh_matches_single_device(self):
         mesh = make_mesh()
         assert mesh.devices.size == 8
-        state = gesture.init_state(jax.random.key(0), PRIOR, DEN, CFG)
-        step = gesture.make_train_step(PRIOR, DEN, CFG, None, with_monitor=False)
+        state = shared_state()
+        step = shared_step(False)
         batch = tiny_batch(b=8)
 
         # single-device result
