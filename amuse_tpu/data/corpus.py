@@ -1,0 +1,64 @@
+"""Text/corpus utilities: word embeddings for TextGrid dialogue.
+
+Re-provides dm/utils/corpus_utils.py (GPT-2 text encoding of TextGrid
+dialogue, models/diffusion/text/txt_models.py) with graceful degradation:
+if HuggingFace GPT-2 weights are available locally they are used; otherwise
+a deterministic hashing-based bag-of-words embedding stands in so the legacy
+text-conditioned path stays executable offline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+
+_GPT2 = None
+
+
+def _try_load_gpt2():
+    global _GPT2
+    if _GPT2 is not None:
+        return _GPT2
+    try:
+        from transformers import GPT2Model, GPT2Tokenizer
+
+        tok = GPT2Tokenizer.from_pretrained("gpt2", local_files_only=True)
+        model = GPT2Model.from_pretrained("gpt2", local_files_only=True)
+        model.eval()
+        _GPT2 = (tok, model)
+    except Exception:
+        _GPT2 = False
+    return _GPT2
+
+
+def hash_embedding(text: str, dim: int = 768) -> np.ndarray:
+    """Deterministic per-word hashed embedding, mean-pooled over the text."""
+    words = text.lower().split()
+    if not words:
+        return np.zeros(dim, np.float32)
+    vecs = []
+    for w in words:
+        seed = int.from_bytes(hashlib.sha256(w.encode()).digest()[:8], "little")
+        vecs.append(np.random.default_rng(seed).normal(size=dim))
+    return np.mean(vecs, axis=0).astype(np.float32)
+
+
+def encode_dialogue(text: str, dim: int = 768) -> np.ndarray:
+    """Dialogue string -> (dim,) embedding (GPT-2 mean-pooled hidden state
+    when weights are present, hashed fallback otherwise)."""
+    g = _try_load_gpt2()
+    if g:
+        import torch
+
+        tok, model = g
+        with torch.no_grad():
+            ids = tok(text, return_tensors="pt", truncation=True, max_length=512)
+            out = model(**ids).last_hidden_state.mean(dim=1)[0]
+        return out.numpy().astype(np.float32)
+    return hash_embedding(text, dim)
+
+
+def encode_dialogue_batch(texts: list[str], dim: int = 768) -> np.ndarray:
+    return np.stack([encode_dialogue(t, dim) for t in texts])

@@ -106,7 +106,10 @@ def make_train_step(
     def vertices(poses_aa, trans, betas):
         """(B, T, 55, 3) aa + (B, T, 3) + (B, n_betas) -> (B, T, V, 3)."""
         b, t = poses_aa.shape[:2]
-        flat_poses = poses_aa.reshape(b * t, -1)
+        # slice to the rig's joint count (full SMPL-X = 55; unit-test rigs
+        # are smaller) - extra pose dims carry no vertex signal for the rig.
+        nj = smplx_model.num_joints
+        flat_poses = poses_aa[:, :, :nj].reshape(b * t, nj * 3)
         flat_trans = trans.reshape(b * t, 3)
         # keep as many betas as the model's coefficient dim allows; the
         # forward pads the remainder (expression dims) with zeros.

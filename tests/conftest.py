@@ -6,7 +6,10 @@ virtual CPU mesh exactly as the driver's dryrun does (see __graft_entry__.py).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE the CPU platform: the CI/dev environment pre-sets JAX_PLATFORMS to
+# the tunnelled TPU backend, and running unit tests through the tunnel is
+# both slow and wrong for the virtual 8-device mesh tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,69 @@
+"""Tests for job templating and the ASHA sweep."""
+
+import numpy as np
+
+from amuse_tpu.cluster import ASHA, JobSpec, LocalRunner, render_script
+from amuse_tpu.cluster.sweep import PRIOR_SPACE, Uniform, best_trial, sample_config
+
+
+class TestJobs:
+    def test_render_script_single_host(self):
+        spec = JobSpec("j1", ["python", "-c", "'print(1)'"], env={"A": "b"})
+        s = render_script(spec)
+        assert "export A='b'" in s
+        assert "JAX_COORDINATOR_ADDRESS" not in s
+        assert "timeout 28800s" in s
+
+    def test_render_script_multi_host(self):
+        spec = JobSpec("j2", ["train"], num_hosts=4)
+        s = render_script(spec, host_index=2, coordinator="10.0.0.1:8476")
+        assert "export JAX_NUM_PROCESSES=4" in s
+        assert "export JAX_PROCESS_ID=2" in s
+
+    def test_local_runner_executes(self, tmp_path):
+        runner = LocalRunner(tmp_path)
+        rc = runner.submit(JobSpec("ok", ["true"], workdir=str(tmp_path)))
+        assert rc == 0
+        assert runner.ledger.get("ok")["state"] == "finished"
+        rc = runner.submit(JobSpec("bad", ["false"], workdir=str(tmp_path)))
+        assert rc != 0
+
+
+class TestSweep:
+    def test_space_sampling(self):
+        rng = np.random.default_rng(0)
+        cfg = sample_config(PRIOR_SPACE, rng)
+        assert cfg["batch_size"] in (16, 32, 64)
+        assert 1e-5 <= cfg["learning_rate"] <= 1e-3
+        assert 0.0 <= cfg["dropout"] <= 0.3
+
+    def test_log_uniform_is_log_spread(self):
+        rng = np.random.default_rng(1)
+        xs = [Uniform(1e-5, 1e-1, log=True).sample(rng) for _ in range(500)]
+        # median of a log-uniform is the geometric mean of the bounds
+        assert 5e-4 < np.median(xs) < 5e-3
+
+    def test_asha_converges_to_good_config(self, tmp_path):
+        # objective: |lr - 3e-4| scaled down by budget (more budget = truer
+        # signal); the best trial must have lr near 3e-4.
+        space = {"lr": Uniform(1e-5, 1e-2, log=True)}
+
+        def objective(cfg, budget, trial_id):
+            noise = np.random.default_rng(trial_id + budget).normal() * 0.5 / budget
+            return abs(np.log(cfg["lr"]) - np.log(3e-4)) + noise
+
+        opt = ASHA(space, objective, min_budget=1, max_budget=9, reduction=3,
+                   seed=0, out_file=tmp_path / "sweep.jsonl")
+        best = opt.run(40)
+        assert best.budget >= 3
+        assert abs(np.log(best.config["lr"]) - np.log(3e-4)) < 2.0
+        assert (tmp_path / "sweep.jsonl").exists()
+
+    def test_asha_promotes_through_rungs(self):
+        space = {"x": Uniform(0, 1)}
+        opt = ASHA(space, lambda c, b, i: c["x"], min_budget=1, max_budget=27)
+        opt.run(30)
+        budgets = {t.budget for t in opt.trials if t.state == "completed"}
+        assert len(budgets) >= 2  # at least one promotion happened
+        b = best_trial(opt.trials)
+        assert b.score <= 0.5
