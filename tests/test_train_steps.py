@@ -98,8 +98,12 @@ class TestGestureTrainStep:
         np.testing.assert_allclose(
             float(logs_single["total"]), float(logs_shard["total"]), rtol=1e-4
         )
+        # Adam's first step amplifies f32 reduction-order noise up to O(lr):
+        # grad/sqrt(v) is sign-like when moments are fresh, so parameters can
+        # differ by ~lr=1e-4 while the math is identical. Compare with
+        # an lr-scaled budget.
         for x, y in zip(jax.tree.leaves(st_single.params), jax.tree.leaves(st_shard.params)):
-            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-3, atol=3e-4)
 
 
 class TestLossFunctions:
