@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from amuse_tpu.models.ast import ASTDisentangler
+from amuse_tpu.models.ast import ASTConfig, ASTDisentangler
 from amuse_tpu.train import losses as L
 
 
@@ -77,9 +77,16 @@ class AudioTrainState(NamedTuple):
     step: jax.Array
 
 
-def init_state(rng: jax.Array, cfg: AudioTrainConfig = AudioTrainConfig(), dtype=jnp.bfloat16) -> AudioTrainState:
-    model = ASTDisentangler(dtype=dtype)
-    params = model.init(rng, jnp.zeros((1, 1024, 128)))["params"]
+def init_state(
+    rng: jax.Array,
+    cfg: AudioTrainConfig = AudioTrainConfig(),
+    dtype=jnp.bfloat16,
+    ast_cfg: ASTConfig = ASTConfig(),
+) -> AudioTrainState:
+    model = ASTDisentangler(dtype=dtype, base_cfg=ast_cfg)
+    params = model.init(
+        rng, jnp.zeros((1, ast_cfg.input_tdim, ast_cfg.input_fdim))
+    )["params"]
     opt_state = make_optimizer(cfg).init(params)
     return AudioTrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
@@ -111,20 +118,25 @@ def spec_augment(rng: jax.Array, fbank: jax.Array, freq_mask: int, time_mask: in
     return fbank
 
 
-def make_train_step(cfg: AudioTrainConfig = AudioTrainConfig(), dtype=jnp.bfloat16):
+def make_train_step(
+    cfg: AudioTrainConfig = AudioTrainConfig(),
+    dtype=jnp.bfloat16,
+    ast_cfg: ASTConfig = ASTConfig(),
+):
     """Build the jitted stage-1 step.
 
     batch dict (leading dim B, sharded over the data axis):
       fbanks (B, 4, 1024, 128) clean normalised quads [a1t1, a1t2, a2t1, a2t2]
       emo_id (B,), a1_id (B,), a2_id (B,)   0-based label indices
     """
-    model = ASTDisentangler(dtype=dtype)
+    model = ASTDisentangler(dtype=dtype, base_cfg=ast_cfg)
     optimizer = make_optimizer(cfg)
 
     def loss_fn(params, batch, rng):
         clean = batch["fbanks"]  # (B, 4, T, F)
         b = clean.shape[0]
         quad = jnp.swapaxes(clean, 0, 1)  # (4, B, T, F)
+        rng, r_drop1, r_drop2 = jax.random.split(rng, 3)
 
         if cfg.noise_aug or cfg.freq_mask or cfg.time_mask:
             rngs = jax.random.split(rng, 4 * b).reshape(4, b)
@@ -136,7 +148,8 @@ def make_train_step(cfg: AudioTrainConfig = AudioTrainConfig(), dtype=jnp.bfloat
 
         flat = aug.reshape(4 * b, *aug.shape[2:])  # one virtual batch
         enc = model.apply(
-            {"params": params}, flat, cfg.frame_based_feats, False, method="encode"
+            {"params": params}, flat, cfg.frame_based_feats, False,
+            method="encode", rngs={"dropout": r_drop1},
         )
         f_emo = enc["emo"]["feature"].reshape(4, b, -1)
         f_sty = enc["sty"]["feature"].reshape(4, b, -1)
@@ -168,7 +181,8 @@ def make_train_step(cfg: AudioTrainConfig = AudioTrainConfig(), dtype=jnp.bfloat
             axis=0,
         )  # (16, B, 768)
         recons = model.apply(
-            {"params": params}, groups, False, method="reconstruct"
+            {"params": params}, groups, False,
+            method="reconstruct", rngs={"dropout": r_drop2},
         )  # (16, B, 1024, 128)
 
         return L.ast_swap_losses(

@@ -121,18 +121,27 @@ def make_train_step(
         return out["vertices"].reshape(b, t, -1, 3)
 
     def loss_fn(params, batch, rng):
-        r_enc, r_enc2, r_t, r_noise, r_ddim = jax.random.split(rng, 5)
+        r_enc, r_enc2, r_t, r_noise, r_ddim, r_drop = jax.random.split(rng, 6)
+        d1, d2, d3, d4 = jax.random.split(r_drop, 4)
         m6 = motion_mod.axis_angle_to_feats6d(batch["motion"])  # trainer.py:363-369
 
-        # ---- VAE pass (grad)
-        z, (mu, logvar) = prior.apply({"params": params["prior"]}, m6, r_enc, method="encode")
+        # ---- VAE pass (grad; dropout active - the reference trains with
+        # model.train(), trainer.py:358-360)
+        z, (mu, logvar) = prior.apply(
+            {"params": params["prior"]}, m6, r_enc, None, False,
+            method="encode", rngs={"dropout": d1},
+        )
         m_rst = prior.apply(
-            {"params": params["prior"]}, z, prior_cfg.window, method="decode"
+            {"params": params["prior"]}, z, prior_cfg.window, None, False,
+            method="decode", rngs={"dropout": d2},
         )
 
         # ---- diffusion pass (grad to denoiser only; trainer.py:407-410)
         z_sg = jax.lax.stop_gradient(
-            prior.apply({"params": params["prior"]}, m6, r_enc2, method="encode")[0]
+            prior.apply(
+                {"params": params["prior"]}, m6, r_enc2, None, False,
+                method="encode", rngs={"dropout": d3},
+            )[0]
         )
         b = m6.shape[0]
         t = jax.random.randint(r_t, (b,), 0, schedule.num_train_timesteps)
@@ -140,7 +149,8 @@ def make_train_step(
         noisy = add_noise(schedule, z_sg, noise, t)
         noise_pred = denoiser.apply(
             {"params": params["denoiser"]}, noisy, t,
-            batch["con"], batch["emo"], batch["sty"],
+            batch["con"], batch["emo"], batch["sty"], False,
+            rngs={"dropout": d4},
         )
 
         # ---- DDIM monitor pass (no grad; trainer.py:413-415)
@@ -149,6 +159,10 @@ def make_train_step(
         if with_monitor:
             sg_params = jax.lax.stop_gradient(params)
 
+            # Monitor runs deterministically (dropout off): the reference
+            # leaves dropout on here (models stay in .train() during the
+            # no-grad sampling pass) but the monitor carries no gradient, so
+            # determinism only de-noises the logged metric.
             def denoise_fn(latents, tt):
                 return denoiser.apply(
                     {"params": sg_params["denoiser"]}, latents, tt,

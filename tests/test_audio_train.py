@@ -1,0 +1,66 @@
+"""Stage-1 training step tests (tiny AST config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amuse_tpu.models.ast import ASTConfig
+from amuse_tpu.train import audio as ta
+
+AST_TINY = ASTConfig(input_tdim=64, input_fdim=32, embed_dim=16, depth=1, num_heads=2, feature_dim=12)
+CFG = ta.AudioTrainConfig(freq_mask=4, time_mask=8)
+
+
+def tiny_batch(b=2):
+    rng = np.random.default_rng(0)
+    return {
+        "fbanks": jnp.asarray(rng.normal(size=(b, 4, 64, 32)), jnp.float32),
+        "emo_id": jnp.asarray(rng.integers(0, 8, b), jnp.int32),
+        "a1_id": jnp.asarray(rng.integers(0, 30, b), jnp.int32),
+        "a2_id": jnp.asarray(rng.integers(0, 30, b), jnp.int32),
+    }
+
+
+class TestAudioTrainStep:
+    def test_step_runs_and_updates(self):
+        state = ta.init_state(jax.random.key(0), CFG, jnp.float32, AST_TINY)
+        step, set_lr = ta.make_train_step(CFG, jnp.float32, AST_TINY)
+        p0 = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+        state, logs = step(state, tiny_batch(), jax.random.key(1))
+        assert np.isfinite(float(logs["total"]))
+        assert {"recon", "ce_emo", "ce_sty", "con_align", "emo_acc"} <= set(logs)
+        assert not np.allclose(np.asarray(jax.tree.leaves(state.params)[0]), p0)
+
+    def test_lr_schedule_multistep(self):
+        cfg = ta.AudioTrainConfig(learning_rate=1e-5, lr_decay_start_epoch=5, lr_decay_gamma=0.85)
+        assert ta.lr_schedule(cfg, 0) == 1e-5
+        assert ta.lr_schedule(cfg, 4) == 1e-5
+        np.testing.assert_allclose(ta.lr_schedule(cfg, 5), 1e-5 * 0.85)
+        np.testing.assert_allclose(ta.lr_schedule(cfg, 7), 1e-5 * 0.85**3)
+
+    def test_set_lr_updates_opt_state(self):
+        state = ta.init_state(jax.random.key(0), CFG, jnp.float32, AST_TINY)
+        _, set_lr = ta.make_train_step(CFG, jnp.float32, AST_TINY)
+        state = set_lr(state, 10)
+        got = float(state.opt_state.hyperparams["learning_rate"])
+        np.testing.assert_allclose(got, ta.lr_schedule(CFG, 10), rtol=1e-6)
+
+
+class TestSpecAugment:
+    def test_masks_zero_regions_and_preserves_shape(self):
+        fb = jnp.ones((64, 32))
+        out = ta.spec_augment(jax.random.key(0), fb, 8, 16, noise=False)
+        assert out.shape == fb.shape
+        # some region must be zeroed with overwhelming probability
+        assert float(jnp.sum(out == 0.0)) > 0
+
+    def test_noise_mode_changes_values(self):
+        fb = jnp.zeros((64, 32))
+        out = ta.spec_augment(jax.random.key(1), fb, 0, 0, noise=True)
+        assert float(jnp.abs(out).sum()) > 0  # additive uniform noise
+
+    def test_deterministic_given_key(self):
+        fb = jnp.asarray(np.random.default_rng(2).normal(size=(64, 32)), jnp.float32)
+        a = ta.spec_augment(jax.random.key(3), fb, 8, 16, True)
+        b = ta.spec_augment(jax.random.key(3), fb, 8, 16, True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
