@@ -51,6 +51,11 @@ class AudioStageConfig:
     frame_based_feats: bool = True
     noise: bool = True
     ablation: str = "full"  # full | emotion | identity | ast_baseline
+    # AST backbone arch (ViT deit-base-384 defaults, audio_main_new.py:49)
+    ast_embed_dim: int = 768
+    ast_depth: int = 12
+    ast_heads: int = 12
+    ast_feature_dim: int = 256
 
 
 @dataclass(frozen=True)

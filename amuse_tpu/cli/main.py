@@ -14,6 +14,51 @@ import time
 from pathlib import Path
 
 
+def _model_cfgs(cfg):
+    """Config dataclasses -> model config objects shared by all tasks."""
+    from amuse_tpu.models.ast import ASTConfig
+    from amuse_tpu.models.denoiser import DenoiserConfig
+    from amuse_tpu.models.vae import PriorConfig
+
+    g, a = cfg.gesture, cfg.audio
+    nfeats = 333 if g.smplx_rep == "6D" else 168
+    if g.skip_trans:
+        nfeats -= 3
+    prior_cfg = PriorConfig(
+        nfeats=nfeats, latent_dim=g.latent_dim, ff_size=g.ff_size,
+        num_layers=g.num_layers, num_heads=g.num_heads, dropout=g.dropout,
+        window=cfg.data.window_frames,
+    )
+    den_cfg = DenoiserConfig(
+        latent_dim=g.latent_dim, ff_size=g.ff_size, num_layers=g.num_layers,
+        num_heads=g.num_heads, dropout=g.dropout, cond_dim=g.cond_dim,
+    )
+    ast_cfg = ASTConfig(
+        input_tdim=a.target_length, input_fdim=a.num_mel_bins,
+        embed_dim=a.ast_embed_dim, depth=a.ast_depth, num_heads=a.ast_heads,
+        feature_dim=a.ast_feature_dim,
+    )
+    return prior_cfg, den_cfg, ast_cfg
+
+
+def _make_pipeline(cfg):
+    import jax.numpy as jnp
+
+    from amuse_tpu.infer.pipeline import GesturePipeline, init_random_params
+    from amuse_tpu.utils.checkpoint_io import load_pipeline_params
+
+    prior_cfg, den_cfg, ast_cfg = _model_cfgs(cfg)
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    params = load_pipeline_params(cfg)
+    if params is None:
+        print("[pipeline] no checkpoint configured; using random weights")
+        params = init_random_params(cfg.seed, prior_cfg, den_cfg, ast_cfg, dtype)
+    return GesturePipeline(
+        params, prior_cfg, den_cfg, ast_cfg, dtype,
+        num_inference_steps=cfg.gesture.num_inference_steps,
+    )
+
+
 def _setup(cfg):
     import jax
 
@@ -33,15 +78,15 @@ def task_prepare_data(cfg):
     """Stage-2 cache build: MoSh npz + frozen AST features -> window shards
     (reference: main.py:118-122 -> dm.latent_diffusion_dm_v2)."""
     from amuse_tpu.data import beat, cache
-    from amuse_tpu.infer.pipeline import GesturePipeline, init_random_params
-    from amuse_tpu.utils.checkpoint_io import load_pipeline_params
 
     takes = beat.discover(Path(cfg.data.data_root), Path(cfg.data.mosh_root))
     subset = beat.stage2_subset(takes)
     print(f"[prepare_data] {len(subset)} stage-2 takes discovered")
-    params = load_pipeline_params(cfg) or init_random_params()
-    pipe = GesturePipeline(params)
-    cache.build_stage2_cache(subset, Path(cfg.data.cache_dir), pipe.encode_audio)
+    pipe = _make_pipeline(cfg)
+    cache.build_stage2_cache(
+        subset, Path(cfg.data.cache_dir), pipe.encode_audio,
+        window_frames=cfg.data.window_frames,
+    )
 
     # stage-1 quad dataset
     from amuse_tpu.data import stage1
@@ -135,10 +180,12 @@ def task_train_gesture(cfg):
     if g.vtex_displacement and smplx_model is None:
         print("[LPDM-T] SMPL-X model npz not found; vertex monitor disabled")
 
+    prior_cfg, den_cfg, _ = _model_cfgs(cfg)
+
     data = WindowCache(Path(cfg.data.cache_dir))
     mesh = make_mesh()
-    step_fn = tg.make_train_step(smplx_model=smplx_model, cfg=tcfg)
-    state = tg.init_state(key, cfg=tcfg)
+    step_fn = tg.make_train_step(prior_cfg, den_cfg, tcfg, smplx_model)
+    state = tg.init_state(key, prior_cfg, den_cfg, tcfg)
     state = replicate(mesh, state)
     ckpt = CheckpointManager(run_dir / "checkpoints") if not cfg.debug else None
     rng = np.random.default_rng(cfg.seed)
@@ -166,16 +213,10 @@ def task_train_gesture(cfg):
 def task_infer_gesture(cfg, wav_dir: str = "viz_dump/test/speech"):
     """Custom WAV -> SMPL-X npz per 10 s window (reference: trainer.py:500-543)."""
     from amuse_tpu.audio.wavio import load_wav_resampled
-    from amuse_tpu.infer.pipeline import GesturePipeline, init_random_params
-    from amuse_tpu.utils.checkpoint_io import load_pipeline_params
     from amuse_tpu.viz.export import export_windows
 
     run_dir, _, _ = _setup(cfg)
-    params = load_pipeline_params(cfg)
-    if params is None:
-        print("[infer] WARNING: no checkpoint found; using random weights")
-        params = init_random_params()
-    pipe = GesturePipeline(params)
+    pipe = _make_pipeline(cfg)
     wavs = sorted(Path(wav_dir).glob("*.wav"))
     for wav in wavs:
         wave = load_wav_resampled(wav)
@@ -187,12 +228,9 @@ def task_infer_gesture(cfg, wav_dir: str = "viz_dump/test/speech"):
 def task_edit_gesture(cfg):
     """Editing tasks driven by cfg.test flags (reference: trainer.py:545-1098)."""
     from amuse_tpu.infer import editing
-    from amuse_tpu.infer.pipeline import GesturePipeline, init_random_params
-    from amuse_tpu.utils.checkpoint_io import load_pipeline_params
 
     run_dir, _, _ = _setup(cfg)
-    params = load_pipeline_params(cfg) or init_random_params()
-    pipe = GesturePipeline(params)
+    pipe = _make_pipeline(cfg)
 
     # demo path: two wavs, swap emotion (trainer.py:1037-1098)
     demo_dir = Path("viz_dump/test/e_speech")

@@ -1,0 +1,82 @@
+"""Full CLI integration: prepare_data -> train_gesture -> infer_gesture on a
+synthetic BEAT tree with tiny model configs (CPU, 8-device mesh)."""
+
+import numpy as np
+import pytest
+
+from amuse_tpu.audio.wavio import save_wav
+from amuse_tpu.cli.config import load_config
+from amuse_tpu.cli import main as cli
+
+TINY = {
+    "audio": {"ast_embed_dim": 16, "ast_depth": 1, "ast_heads": 2, "ast_feature_dim": 12},
+    "gesture": {
+        "latent_dim": 16, "ff_size": 32, "num_layers": 3, "num_heads": 2,
+        "cond_dim": 12, "num_inference_steps": 3, "epochs": 2, "batch_size": 8,
+        "vtex_displacement": False,
+    },
+    "dtype": "float32",
+    "debug": True,
+}
+
+
+@pytest.fixture(scope="module")
+def beat_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("beat_data")
+    data_root = root / "beat"
+    mosh_root = root / "mosh"
+    mosh_root.mkdir()
+    rng = np.random.default_rng(0)
+    for actor_id, name in [(2, "scott"), (9, "miranda")]:
+        d = data_root / str(actor_id)
+        d.mkdir(parents=True)
+        stem = f"{actor_id}_{name}_0_9_9"
+        # 4 chunks of audio + 4 windows of motion per take
+        save_wav(d / f"{stem}.wav", rng.normal(scale=0.05, size=4 * 160000).astype(np.float32))
+        (d / f"{stem}.csv").write_text("0,0\n1,0\n")
+        np.savez(
+            mosh_root / f"{stem}.npz",
+            poses=(0.2 * rng.normal(size=(4 * 300, 165))).astype(np.float32),
+            trans=(0.1 * rng.normal(size=(4 * 300, 3))).astype(np.float32),
+        )
+    return root
+
+
+def make_cfg(beat_tree, workdir):
+    overrides = dict(TINY)
+    overrides["data"] = {
+        "data_root": str(beat_tree / "beat"),
+        "mosh_root": str(beat_tree / "mosh"),
+        "cache_dir": str(workdir / "cache"),
+        "stage1_dataset": str(workdir / "stage1.npz"),
+        "smplx_model_dir": str(workdir / "nonexistent"),
+    }
+    overrides["out_dir"] = str(workdir / "runs")
+    return load_config(None, overrides)
+
+
+@pytest.mark.integration
+def test_prepare_train_infer(beat_tree, tmp_path):
+    cfg = make_cfg(beat_tree, tmp_path)
+
+    # ---- prepare_data: builds the window cache + stage-1 quads
+    cli.task_prepare_data(cfg)
+    from amuse_tpu.data.cache import WindowCache
+
+    wc = WindowCache(cfg.data.cache_dir)
+    assert len(wc) == 8  # 2 takes x 4 windows
+    item = wc[0]
+    assert item["motion"].shape == (300, 168)
+    assert item["con"].shape == (12,)
+
+    # ---- train_gesture: two tiny epochs over the cache
+    cli.task_train_gesture(cfg)
+
+    # ---- infer_gesture: generate npz outputs for the synthetic wavs
+    wav_dir = str(beat_tree / "beat" / "2")
+    cli.task_infer_gesture(cfg, wav_dir)
+    runs = sorted((tmp_path / "runs").glob("*/gesture/*/seq_*/*.npz"))
+    assert runs, "no exported npz found"
+    d = np.load(runs[0])
+    assert d["poses"].shape == (300, 55, 3)
+    assert d["trans"].shape == (300, 3)
