@@ -56,10 +56,30 @@ class GesturePipeline:
         dtype=jnp.bfloat16,
         num_inference_steps: int = 50,
     ):
+        import dataclasses
+
         self.params = params
         self.prior_cfg = prior_cfg
         self.denoiser_cfg = denoiser_cfg
-        ast = ASTDisentangler(dtype=dtype, base_cfg=ast_cfg)
+        self.ast_cfg = ast_cfg
+        # Inference only needs the 256-d features (no label heads), and the
+        # three encoders' backbones are shape-identical: stack their param
+        # trees and vmap ONE encoder over them - 3 sequential ViT-base
+        # forwards become one (3 x N)-batched forward on the MXU.
+        from amuse_tpu.models.ast import ASTEncoder
+
+        feat_cfg = dataclasses.replace(ast_cfg, label_dim=0, dtype=dtype)
+        feat_encoder = ASTEncoder(feat_cfg)
+
+        def stacked_backbone(ast_params):
+            """Stack {emo, sty, con} encoder backbones along a leading axis."""
+            def strip(tree):
+                drop = {"featbased_ln", "featbased_fc", "mlp_ln", "mlp_fc"}
+                return {k: v for k, v in tree.items() if k not in drop}
+
+            trees = [strip(ast_params[k]) for k in ("con", "emo", "sty")]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
         prior = MotionPrior(prior_cfg)
         denoiser = Denoiser(denoiser_cfg)
         schedule = make_schedule()
@@ -71,12 +91,21 @@ class GesturePipeline:
             the Kaldi fbank fused in.
             """
             fb = fbank_mod.wav_chunk_to_fbank(chunks)
-            feats = ast.apply({"params": params.ast}, fb, True, True, method="encode")
-            return {
-                "con": feats["con"]["feature"],
-                "emo": feats["emo"]["feature"],
-                "sty": feats["sty"]["feature"],
-            }
+            ast_tree = params.ast
+            if {"emo_enc", "sty_enc", "con_enc"} <= set(ast_tree):
+                sub = {
+                    "con": ast_tree["con_enc"],
+                    "emo": ast_tree["emo_enc"],
+                    "sty": ast_tree["sty_enc"],
+                }
+            else:
+                sub = ast_tree
+            stacked = stacked_backbone(sub)
+            feats = jax.vmap(
+                lambda p: feat_encoder.apply({"params": p}, fb, True, True)["feature"],
+                in_axes=0,
+            )(stacked)  # (3, N, 256) in {con, emo, sty} order
+            return {"con": feats[0], "emo": feats[1], "sty": feats[2]}
 
         def generate_latents(
             params: PipelineParams,

@@ -54,6 +54,10 @@ class ASTConfig:
     mlp_ratio: int = 4
     feature_dim: int = 256
     label_dim: int = 0  # 8 emo / 30 sty / 0 con (AST_EVP.py:53-61)
+    # Pallas fused attention (amuse_tpu/ops/attention.py): forward-only -
+    # enable on frozen/inference paths (GesturePipeline does); training uses
+    # the XLA path whose backward fuses well at these sizes.
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -109,9 +113,19 @@ class ViTBlock(nn.Module):
             return t.reshape(t.shape[:-1] + (cfg.num_heads, hd))
 
         q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(jnp.asarray(hd, cfg.dtype))
-        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cfg.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(x.shape)
+        if cfg.fused_attention:
+            from amuse_tpu.ops.attention import mha as fused_mha
+
+            o = fused_mha(
+                jnp.moveaxis(q, 2, 1), jnp.moveaxis(k, 2, 1), jnp.moveaxis(v, 2, 1)
+            )  # (B, H, S, hd)
+            o = jnp.moveaxis(o, 1, 2).reshape(x.shape)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+                jnp.asarray(hd, cfg.dtype)
+            )
+            attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cfg.dtype)
+            o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(x.shape)
         x = x + dense(d, "attn_proj")(o)
 
         h = nn.LayerNorm(epsilon=_VIT_LN_EPS, dtype=cfg.dtype, name="norm2")(x)
