@@ -225,12 +225,73 @@ def task_infer_gesture(cfg, wav_dir: str = "viz_dump/test/speech"):
         print(f"[infer] {wav.name}: {len(paths)} windows -> {paths[0].parent.parent}")
 
 
+def _export_edit_results(run_dir, task_name, results):
+    from amuse_tpu.core import motion as motion_mod
+    from amuse_tpu.viz.export import export_windows
+
+    import numpy as np
+
+    for source_key, variants in results.items():
+        for variant, (poses, trans) in variants.items():
+            poses = np.asarray(motion_mod.zero_jaw(poses))
+            export_windows(
+                run_dir / task_name / source_key / variant,
+                {"poses": poses, "trans": trans, "fps": 30.0},
+                subject=source_key.split("_")[0],
+                stem=variant,
+            )
+    print(f"[edit] {task_name}: {len(results)} sources -> {run_dir / task_name}")
+
+
 def task_edit_gesture(cfg):
-    """Editing tasks driven by cfg.test flags (reference: trainer.py:545-1098)."""
+    """Editing tasks driven by cfg.test flags (reference: trainer.py:545-1098).
+
+    Dataset-driven tasks (emotion_control / style_transfer /
+    style_Xemo_transfer) need the BEAT data root; the demo path only needs
+    two WAVs under viz_dump/test/e_speech (trainer.py:1037-1098).
+    """
     from amuse_tpu.infer import editing
 
     run_dir, _, _ = _setup(cfg)
     pipe = _make_pipeline(cfg)
+    t = cfg.test
+
+    data_root = Path(cfg.data.data_root)
+    if (t.emotion_control or t.style_transfer or t.style_xemo_transfer) and data_root.exists():
+        from amuse_tpu.data import beat, eval_sets
+
+        takes = beat.discover(data_root, Path(cfg.data.mosh_root))
+
+        def encode_item(item):
+            return editing.encode_take(
+                pipe, item.actor, item.take, 0, item.waveform, item.motion, cfg.seed
+            )
+
+        if t.emotion_control and t.actors:
+            items = eval_sets.emotion_control_set(takes, t.actors[0])
+            latents = [encode_item(i) for i in items]
+            _export_edit_results(
+                run_dir, "emotion_control", editing.emotion_control(pipe, latents, cfg.seed)
+            )
+        if t.style_transfer and len(t.actors) >= 2:
+            a1, a2 = eval_sets.style_transfer_set(takes, t.actors[0], t.actors[1], t.emotion)
+            _export_edit_results(
+                run_dir, "style_transfer",
+                editing.style_transfer(
+                    pipe, [encode_item(i) for i in a1], [encode_item(i) for i in a2], cfg.seed
+                ),
+            )
+        if t.style_xemo_transfer and len(t.actors) >= 2:
+            corners = eval_sets.style_xemo_set(
+                takes, t.actors[0], t.actors[1], "angry", t.emotion
+            )
+            enc = {k: encode_item(v) for k, v in corners.items()}
+            _export_edit_results(
+                run_dir, "style_Xemo_transfer",
+                editing.style_xemo_transfer(
+                    pipe, enc["a1_e1"], enc["a1_e2"], enc["a2_e1"], enc["a2_e2"], cfg.seed
+                ),
+            )
 
     # demo path: two wavs, swap emotion (trainer.py:1037-1098)
     demo_dir = Path("viz_dump/test/e_speech")
@@ -249,9 +310,8 @@ def task_edit_gesture(cfg):
                 stem=name,
             )
         print(f"[edit] demo emotion swap -> {run_dir / 'e_gesture'}")
-    else:
-        print(f"[edit] no demo wavs under {demo_dir}; dataset-driven editing "
-              "requires the BEAT cache (see cfg.test flags)")
+    elif not (t.emotion_control or t.style_transfer or t.style_xemo_transfer):
+        print(f"[edit] no demo wavs under {demo_dir} and no cfg.test task enabled")
 
 
 def task_bvh2smplx(cfg):

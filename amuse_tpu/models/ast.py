@@ -130,7 +130,7 @@ class ViTBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=_VIT_LN_EPS, dtype=cfg.dtype, name="norm2")(x)
         h = dense(d * cfg.mlp_ratio, "mlp_fc1")(h)
-        h = nn.gelu(h)  # torch GELU (erf)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU default = exact erf
         return x + dense(d, "mlp_fc2")(h)
 
 

@@ -33,7 +33,9 @@ _TORCH_LN_EPS = 1e-5
 
 def _activation(name: str) -> Callable[[jax.Array], jax.Array]:
     if name == "gelu":
-        return nn.gelu  # exact erf-based gelu, matching torch F.gelu default
+        # torch F.gelu defaults to the EXACT erf form; flax nn.gelu defaults
+        # to the tanh approximation - force exact for checkpoint parity.
+        return lambda x: nn.gelu(x, approximate=False)
     if name == "relu":
         return nn.relu
     raise ValueError(f"unsupported activation: {name}")

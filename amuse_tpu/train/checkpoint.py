@@ -33,9 +33,12 @@ class CheckpointManager:
     def save(self, step: int, tree: Any, metrics: Optional[dict] = None) -> Path:
         path = self._path(step)
         self._ckpt.save(path / "state", jax.tree.map(np.asarray, tree))
-        meta = {"step": int(step), "metrics": _jsonable(metrics or {})}
-        (path / "metadata.json").write_text(json.dumps(meta, indent=1))
+        # orbax saves asynchronously; the step directory must exist before
+        # the metadata sidecar is written next to it.
         self._ckpt.wait_until_finished()
+        meta = {"step": int(step), "metrics": _jsonable(metrics or {})}
+        path.mkdir(parents=True, exist_ok=True)
+        (path / "metadata.json").write_text(json.dumps(meta, indent=1))
         return path
 
     def steps(self) -> list[int]:

@@ -1,0 +1,76 @@
+"""Parity test: the VMEM-resident fused DDIM sampler vs the XLA scan path
+(interpret mode on CPU, flagship denoiser dims)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amuse_tpu.diffusion import ddim_sample, make_schedule
+from amuse_tpu.models.denoiser import Denoiser, DenoiserConfig
+from amuse_tpu.ops import denoiser_kernel as dk
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = DenoiserConfig()  # flagship: 9 layers, D=128, ff=512, 4 heads
+    model = Denoiser(cfg)
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 1, 128)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 256)), jnp.zeros((1, 256)), jnp.zeros((1, 256)),
+    )["params"]
+    schedule = make_schedule()
+    return cfg, model, params, schedule
+
+
+class TestFusedSampler:
+    def test_matches_xla_scan(self, setup):
+        cfg, model, params, schedule = setup
+        rng = np.random.default_rng(0)
+        b = 2
+        con = jnp.asarray(rng.normal(size=(b, 256)), jnp.float32)
+        emo = jnp.asarray(rng.normal(size=(b, 256)), jnp.float32)
+        sty = jnp.asarray(rng.normal(size=(b, 256)), jnp.float32)
+        key = jax.random.key(7)
+        steps = 10  # keep the interpret-mode loop cheap; same code path as 50
+
+        # XLA scan reference
+        def denoise_fn(latents, t):
+            return model.apply({"params": params}, latents, t, con, emo, sty)
+
+        ref = ddim_sample(schedule, denoise_fn, key, (b, 1, 128), steps)
+
+        # fused kernel, same initial latents (same key + shape)
+        sampler = dk.make_fused_sampler(params, cfg, schedule, steps, interpret=True)
+        out = sampler(key, con, emo, sty)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2, rtol=1e-2)
+
+    def test_single_denoiser_step_parity(self, setup):
+        # tighter check on one step: A_0 x + B_0 eps with the model's eps
+        cfg, model, params, schedule = setup
+        rng = np.random.default_rng(1)
+        con = jnp.asarray(rng.normal(size=(1, 256)), jnp.float32)
+        emo = jnp.asarray(rng.normal(size=(1, 256)), jnp.float32)
+        sty = jnp.asarray(rng.normal(size=(1, 256)), jnp.float32)
+        key = jax.random.key(3)
+
+        sampler = dk.make_fused_sampler(params, cfg, schedule, 1, interpret=True)
+        out = sampler(key, con, emo, sty)
+
+        from amuse_tpu.diffusion.schedulers import ddim_step, ddim_timesteps
+
+        x0 = jax.random.normal(key, (1, 1, 128), jnp.float32)
+        ts = ddim_timesteps(schedule, 1)  # [1]
+        eps = model.apply({"params": params}, x0, ts, con, emo, sty)
+        # num_inference_steps=1 -> step_ratio=1000, prev_t<0 -> acp[0]
+        expected = ddim_step(schedule, eps, ts[0], x0, 1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-2, rtol=1e-2)
+
+    def test_packing_shapes(self, setup):
+        _, _, params, _ = setup
+        packed = dk.pack_denoiser(params)
+        assert packed.wq.shape == (9, 128, 128)
+        assert packed.w1.shape == (9, 128, 512)
+        assert packed.wskip.shape == (4, 256, 128)
+        assert packed.ln_scale.shape == (9, 2, 128)
