@@ -137,6 +137,45 @@ def task_train_audio(cfg):
     n_dev = mesh.devices.size
     bsz = max(cfg.audio.batch_size, n_dev)
 
+    from amuse_tpu.eval.classification import epoch_stats
+    from amuse_tpu.models.ast import ASTDisentangler
+
+    import jax.numpy as jnp
+
+    model = ASTDisentangler(dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+
+    def validate(params):
+        """Collect emotion/style logits over the val quads -> stats dict
+        (the reference's calculate_stats pass, AST_EVP.py:331-430)."""
+        if val["emo_id"].shape[0] == 0:
+            return {}
+        emo_logits, sty_logits, emo_lab, sty_lab = [], [], [], []
+        for batch in stage1.batches(val, bsz):
+            quad = batch["fbanks"].reshape(-1, *batch["fbanks"].shape[2:])
+            enc = model.apply(
+                {"params": params}, jnp.asarray(quad), tcfg.frame_based_feats,
+                True, method="encode",
+            )
+            emo_logits.append(np.asarray(enc["emo"]["logits"]))
+            sty_logits.append(np.asarray(enc["sty"]["logits"]))
+            # (B, 4, ...) flattens batch-major: labels repeat 4x per sample
+            emo_lab.append(np.repeat(batch["emo_id"], 4))
+            labs = np.stack(
+                [batch["a1_id"], batch["a1_id"], batch["a2_id"], batch["a2_id"]], axis=1
+            )
+            sty_lab.append(labs.reshape(-1))
+        stats = epoch_stats(
+            jnp.asarray(np.concatenate(emo_logits)),
+            jnp.asarray(np.concatenate(emo_lab)),
+            jnp.asarray(np.concatenate(sty_logits)),
+            jnp.asarray(np.concatenate(sty_lab)),
+        )
+        return {
+            "val_emo_acc": stats["emo_stats"]["acc"],
+            "val_sty_acc": stats["subject_stats"]["acc"],
+            "val_emo_f1": stats["emo_stats"]["f1_micro"],
+        }
+
     with mesh:
         for epoch in range(tcfg.epochs):
             state = set_lr(state, epoch)
@@ -144,11 +183,13 @@ def task_train_audio(cfg):
             for i, batch in enumerate(stage1.batches(train, bsz, rng)):
                 batch = shard_batch(mesh, batch)
                 state, logs = step_fn(state, batch, jax.random.fold_in(key, epoch * 100_000 + i))
-            logger.log(epoch, {f"train_{k}": float(v) for k, v in logs.items()})
+            metrics = {f"train_{k}": float(v) for k, v in logs.items()}
+            metrics.update(validate(state.params))
+            logger.log(epoch, metrics)
             print(f"[AST-T] epoch {epoch + 1}/{tcfg.epochs} ({time.time() - t0:.1f}s): "
-                  + ", ".join(f"{k}={float(v):.4f}" for k, v in logs.items()))
+                  + ", ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()))
             if ckpt:
-                ckpt.save(epoch + 1, state.params, {k: float(v) for k, v in logs.items()})
+                ckpt.save(epoch + 1, state.params, metrics)
 
 
 def task_train_gesture(cfg):
@@ -184,7 +225,15 @@ def task_train_gesture(cfg):
 
     data = WindowCache(Path(cfg.data.cache_dir))
     mesh = make_mesh()
-    step_fn = tg.make_train_step(prior_cfg, den_cfg, tcfg, smplx_model)
+    # two step programs: with the DDIM/vertex monitor (every
+    # ``monitor_every``-th step) and without (all other steps) - monitors
+    # carry no gradient, so throttling only thins the logged metrics.
+    step_mon = tg.make_train_step(prior_cfg, den_cfg, tcfg, smplx_model, with_monitor=True)
+    step_fast = (
+        tg.make_train_step(prior_cfg, den_cfg, tcfg, smplx_model, with_monitor=False)
+        if tcfg.monitor_every > 1
+        else step_mon
+    )
     state = tg.init_state(key, prior_cfg, den_cfg, tcfg)
     state = replicate(mesh, state)
     ckpt = CheckpointManager(run_dir / "checkpoints") if not cfg.debug else None
@@ -202,7 +251,8 @@ def task_train_gesture(cfg):
                     "betas": betas_for_actor_ids(b["actor_id"]),
                 }
                 batch = shard_batch(mesh, batch)
-                state, logs = step_fn(state, batch, jax.random.fold_in(key, epoch * 100_000 + i))
+                fn = step_mon if i % tcfg.monitor_every == 0 else step_fast
+                state, logs = fn(state, batch, jax.random.fold_in(key, epoch * 100_000 + i))
             logger.log(epoch, {f"train_{k}": float(v) for k, v in logs.items()})
             print(f"[LPDM-T] epoch {epoch + 1}/{tcfg.epochs} ({time.time() - t0:.1f}s): "
                   + ", ".join(f"{k}={float(v):.6f}" for k, v in logs.items()))
@@ -218,11 +268,15 @@ def task_infer_gesture(cfg, wav_dir: str = "viz_dump/test/speech"):
     run_dir, _, _ = _setup(cfg)
     pipe = _make_pipeline(cfg)
     wavs = sorted(Path(wav_dir).glob("*.wav"))
+    reps = max(1, cfg.test.replication_times)  # trainer.py:550 semantics
     for wav in wavs:
         wave = load_wav_resampled(wav)
-        result = pipe.infer_wav(wave, seed=cfg.seed)
-        paths = export_windows(run_dir / "gesture" / wav.stem, result, stem=wav.stem)
-        print(f"[infer] {wav.name}: {len(paths)} windows -> {paths[0].parent.parent}")
+        for rep in range(reps):
+            result = pipe.infer_wav(wave, seed=cfg.seed + rep)
+            rep_dir = run_dir / "gesture" / wav.stem / f"rep{rep}"
+            paths = export_windows(rep_dir, result, stem=wav.stem)
+        print(f"[infer] {wav.name}: {len(paths)} windows x {reps} reps -> "
+              f"{run_dir / 'gesture' / wav.stem}")
 
 
 def _export_edit_results(run_dir, task_name, results):
@@ -314,6 +368,24 @@ def task_edit_gesture(cfg):
         print(f"[edit] no demo wavs under {demo_dir} and no cfg.test task enabled")
 
 
+def task_eval_gesture(cfg):
+    """Quantitative eval over the window cache: FGD / diversity / APE / AVE /
+    beat alignment - the metrics the reference published only in its paper
+    (its in-repo metric code was dead, SURVEY §2.1)."""
+    import json
+
+    from amuse_tpu.data.cache import WindowCache
+    from amuse_tpu.eval.runner import evaluate_cache
+
+    run_dir, logger, _ = _setup(cfg)
+    pipe = _make_pipeline(cfg)
+    cache = WindowCache(Path(cfg.data.cache_dir))
+    results = evaluate_cache(pipe, cache, batch_size=min(cfg.gesture.batch_size, len(cache)), seed=cfg.seed)
+    print("[eval]", json.dumps(results, indent=1))
+    if not cfg.debug:
+        (run_dir / "eval_results.json").write_text(json.dumps(results, indent=1))
+
+
 def task_bvh2smplx(cfg):
     """BVH -> SMPL-X retargeting requires Blender + Auto-Rig-Pro (external
     native tools, reference: retarget_smpl2bvh2beatnpzWbetas.py). We gate it."""
@@ -328,6 +400,7 @@ def task_bvh2smplx(cfg):
 
 
 TASKS = {
+    "eval_gesture": task_eval_gesture,
     "train_audio": task_train_audio,
     "train_gesture": task_train_gesture,
     "infer_gesture": task_infer_gesture,
