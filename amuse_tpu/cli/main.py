@@ -239,18 +239,24 @@ def task_train_gesture(cfg):
     ckpt = CheckpointManager(run_dir / "checkpoints") if not cfg.debug else None
     rng = np.random.default_rng(cfg.seed)
 
+    from amuse_tpu.data.prefetch import prefetch_to_device
+    from amuse_tpu.parallel import batch_sharding
+
+    def host_batches():
+        for b in data.batches(tcfg.batch_size, rng):
+            yield {
+                "motion": b["motion"],
+                "con": b["con"],
+                "emo": b["emo"],
+                "sty": b["sty"],
+                "betas": betas_for_actor_ids(b["actor_id"]),
+            }
+
     with mesh:
         for epoch in range(tcfg.epochs):
             t0, logs = time.time(), {}
-            for i, b in enumerate(data.batches(tcfg.batch_size, rng)):
-                batch = {
-                    "motion": b["motion"],
-                    "con": b["con"],
-                    "emo": b["emo"],
-                    "sty": b["sty"],
-                    "betas": betas_for_actor_ids(b["actor_id"]),
-                }
-                batch = shard_batch(mesh, batch)
+            batches = prefetch_to_device(host_batches(), 2, batch_sharding(mesh))
+            for i, batch in enumerate(batches):
                 fn = step_mon if i % tcfg.monitor_every == 0 else step_fast
                 state, logs = fn(state, batch, jax.random.fold_in(key, epoch * 100_000 + i))
             logger.log(epoch, {f"train_{k}": float(v) for k, v in logs.items()})
