@@ -79,12 +79,33 @@ def task_prepare_data(cfg):
     (reference: main.py:118-122 -> dm.latent_diffusion_dm_v2)."""
     from amuse_tpu.data import beat, cache
 
+    import numpy as np
+
+    from amuse_tpu.parallel import batch_sharding, make_mesh
+
     takes = beat.discover(Path(cfg.data.data_root), Path(cfg.data.mosh_root))
     subset = beat.stage2_subset(takes)
     print(f"[prepare_data] {len(subset)} stage-2 takes discovered")
     pipe = _make_pipeline(cfg)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    sharding = batch_sharding(mesh)
+
+    def encode_sharded(chunks):
+        """Pad the chunk batch to the device count and shard the AST pass
+        over the mesh data axis (BASELINE.json's ICI regen target)."""
+        import jax
+
+        n = chunks.shape[0]
+        pad = (-n) % n_dev
+        if pad:
+            chunks = np.concatenate([chunks, np.zeros((pad,) + chunks.shape[1:], chunks.dtype)])
+        with mesh:
+            out = pipe.encode_audio(jax.device_put(chunks, sharding))
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
     cache.build_stage2_cache(
-        subset, Path(cfg.data.cache_dir), pipe.encode_audio,
+        subset, Path(cfg.data.cache_dir), encode_sharded,
         window_frames=cfg.data.window_frames,
     )
 

@@ -145,6 +145,32 @@ class WindowCache:
             yield {f: np.stack([it[f] for it in items]) for f in fields}
 
 
+def merge_caches(cache_dirs, out_dir) -> Path:
+    """Merge several window caches into one (the reference's move_lmdbs
+    local-vs-cluster cache reconciliation, scripts/utils/misc.py:51-91):
+    multi-host cache builds produce per-host directories; this re-manifests
+    their shards under one root without copying array data when possible."""
+    import shutil
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    shards, total = [], 0
+    for d in cache_dirs:
+        d = Path(d)
+        manifest = json.loads((d / "manifest.json").read_text())
+        for s in manifest["shards"]:
+            name = f"shard_{len(shards):05d}.npz"
+            src, dst = d / s, out_dir / name
+            if src.resolve() != dst.resolve():
+                shutil.copyfile(src, dst)
+            shards.append(name)
+        total += manifest["num_windows"]
+    (out_dir / "manifest.json").write_text(
+        json.dumps({"num_windows": total, "shards": shards, "fields": list(FIELDS)}, indent=1)
+    )
+    return out_dir
+
+
 def betas_for_actor_ids(actor_ids: np.ndarray) -> np.ndarray:
     """(B,) 0-based actor ids -> (B, 300) betas via the actor table."""
     from amuse_tpu.data.actors import subject_to_gender_beta

@@ -28,6 +28,26 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed() -> bool:
+    """Multi-host bring-up from the env vars the cluster layer writes
+    (amuse_tpu/cluster/jobs.py): JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID. No-op (returns False) in single-process runs; afterwards
+    the same make_mesh() spans all hosts' devices (DCN between hosts, ICI
+    within - nothing else in the framework changes, it is all SPMD)."""
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    n = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if not addr or n <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=n,
+        process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+    )
+    return True
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

@@ -75,7 +75,7 @@ def test_prepare_train_infer(beat_tree, tmp_path):
     # ---- infer_gesture: generate npz outputs for the synthetic wavs
     wav_dir = str(beat_tree / "beat" / "2")
     cli.task_infer_gesture(cfg, wav_dir)
-    runs = sorted((tmp_path / "runs").glob("*/gesture/*/seq_*/*.npz"))
+    runs = sorted((tmp_path / "runs").glob("*/gesture/*/rep*/seq_*/*.npz"))
     assert runs, "no exported npz found"
     d = np.load(runs[0])
     assert d["poses"].shape == (300, 55, 3)
