@@ -68,7 +68,10 @@ class GesturePipeline:
         # forwards become one (3 x N)-batched forward on the MXU.
         from amuse_tpu.models.ast import ASTEncoder
 
-        feat_cfg = dataclasses.replace(ast_cfg, label_dim=0, dtype=dtype)
+        # fused_attention dispatches per-backend (Pallas on TPU, XLA on CPU)
+        feat_cfg = dataclasses.replace(
+            ast_cfg, label_dim=0, dtype=dtype, fused_attention=True
+        )
         feat_encoder = ASTEncoder(feat_cfg)
 
         def stacked_backbone(ast_params):

@@ -33,16 +33,19 @@ def main():
     )
     key = jax.random.key(0)
 
-    # compile
+    # compile + force a REAL device sync: through the remote-TPU tunnel,
+    # block_until_ready returns at dispatch time, so wall-clock must be
+    # bounded by a device->host transfer of the result.
     out = pipe.wav_to_motion(key, chunks)
-    jax.block_until_ready(out)
+    np.asarray(out[0])
 
-    # timed
-    iters = 5
+    # timed: the device executes the queued programs serially, so forcing
+    # only the final output bounds all iterations (one tunnel RTT amortised)
+    iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         out = pipe.wav_to_motion(jax.random.key(i), chunks)
-    jax.block_until_ready(out)
+    np.asarray(out[0])
     dt = (time.perf_counter() - t0) / iters / n_windows
 
     target = 1.0  # seconds per 10 s window (BASELINE.md north star)
