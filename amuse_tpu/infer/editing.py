@@ -172,6 +172,31 @@ def style_xemo_transfer(
     return out
 
 
+def content_control(
+    pipe: GesturePipeline, takes: list[TakeLatents], seed: int = 0
+) -> dict[str, dict]:
+    """Swap the *content* latent across takes, keeping emotion + style.
+
+    The reference declares this task (config flag test.content_control,
+    infer_ldm.py:45) but never implements it; provided here for the complete
+    editing matrix (the "combination 4" of infer_ldm.py's own docstring).
+    """
+    out: dict[str, dict] = {}
+    for tk in takes:
+        n = min(len(tk.con), *(len(o.con) for o in takes))
+        results = {
+            "self": generate_with(pipe, tk.con[:n], tk.emo[:n], tk.sty[:n], seed)
+        }
+        for other in takes:
+            if other.take == tk.take:
+                continue
+            results[f"con_{other.take}"] = generate_with(
+                pipe, other.con[:n], tk.emo[:n], tk.sty[:n], seed
+            )
+        out[f"{tk.actor}_{tk.take}"] = results
+    return out
+
+
 def demo_emotion_swap(
     pipe: GesturePipeline,
     source_wave: np.ndarray,
