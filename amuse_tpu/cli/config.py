@@ -109,6 +109,7 @@ class Config:
     debug: bool = False
     out_dir: str = "runs"
     dtype: str = "bfloat16"
+    resume: str = ""  # checkpoint dir to resume params from
 
 
 def _merge(cfg: Any, overrides: dict) -> Any:

@@ -152,6 +152,12 @@ def task_train_audio(cfg):
     mesh = make_mesh()
     step_fn, set_lr = ta.make_train_step(tcfg)
     state = ta.init_state(key, tcfg)
+    start_epoch = 0
+    if cfg.resume:
+        restored, meta = CheckpointManager(cfg.resume).restore(template=state.params)
+        state = state._replace(params=restored)
+        start_epoch = int(meta.get("step", 0))
+        print(f"[AST-T] resumed params from {cfg.resume} at epoch {start_epoch}")
     state = replicate(mesh, state)
     ckpt = CheckpointManager(run_dir / "checkpoints") if not cfg.debug else None
     rng = np.random.default_rng(cfg.seed)
@@ -198,7 +204,7 @@ def task_train_audio(cfg):
         }
 
     with mesh:
-        for epoch in range(tcfg.epochs):
+        for epoch in range(start_epoch, tcfg.epochs):
             state = set_lr(state, epoch)
             t0, logs = time.time(), {}
             for i, batch in enumerate(stage1.batches(train, bsz, rng)):
@@ -256,6 +262,12 @@ def task_train_gesture(cfg):
         else step_mon
     )
     state = tg.init_state(key, prior_cfg, den_cfg, tcfg)
+    start_epoch = 0
+    if cfg.resume:
+        restored, meta = CheckpointManager(cfg.resume).restore(template=state.params)
+        state = state._replace(params=restored)
+        start_epoch = int(meta.get("step", 0))
+        print(f"[LPDM-T] resumed params from {cfg.resume} at epoch {start_epoch}")
     state = replicate(mesh, state)
     ckpt = CheckpointManager(run_dir / "checkpoints") if not cfg.debug else None
     rng = np.random.default_rng(cfg.seed)
@@ -274,7 +286,7 @@ def task_train_gesture(cfg):
             }
 
     with mesh:
-        for epoch in range(tcfg.epochs):
+        for epoch in range(start_epoch, tcfg.epochs):
             t0, logs = time.time(), {}
             batches = prefetch_to_device(host_batches(), 2, batch_sharding(mesh))
             for i, batch in enumerate(batches):
