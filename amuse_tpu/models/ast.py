@@ -58,6 +58,10 @@ class ASTConfig:
     # enable on frozen/inference paths (GesturePipeline does); training uses
     # the XLA path whose backward fuses well at these sizes.
     fused_attention: bool = False
+    # rematerialize ViT blocks in backward (trades ~33% step time for
+    # activation memory; stage-1 activations fit v5e HBM at small batch, so
+    # default off - flip on for large per-chip batches)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -164,8 +168,9 @@ class ASTEncoder(nn.Module):
         dtk = jnp.broadcast_to(dist.astype(x.dtype), (b, 1, cfg.embed_dim))
         x = jnp.concatenate([tok, dtk, x], axis=1) + pos.astype(x.dtype)
 
+        block_cls = nn.remat(ViTBlock) if cfg.remat else ViTBlock
         for i in range(cfg.depth):
-            x = nn.remat(ViTBlock)(cfg, name=f"block_{i}")(x, deterministic)
+            x = block_cls(cfg, name=f"block_{i}")(x, deterministic)
         x = nn.LayerNorm(epsilon=_VIT_LN_EPS, dtype=cfg.dtype, name="norm")(x)
 
         x_dist = 0.5 * (x[:, 0] + x[:, 1])  # audio_main_new.py:193
