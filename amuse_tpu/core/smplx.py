@@ -163,11 +163,14 @@ def forward(
     """
     n_joints = model.num_joints
     coeff_dim = model.shapedirs.shape[-1]
-    if expression is None:
-        expr = jnp.zeros((coeff_dim - betas.shape[0],), betas.dtype)
-    else:
-        expr = expression
+    expr = (
+        jnp.zeros((max(coeff_dim - betas.shape[0], 0),), betas.dtype)
+        if expression is None
+        else expression
+    )
     coeffs = jnp.concatenate([betas, expr])[:coeff_dim]
+    if coeffs.shape[0] < coeff_dim:  # zero-pad any remaining coefficient dims
+        coeffs = jnp.pad(coeffs, (0, coeff_dim - coeffs.shape[0]))
 
     v_shaped = model.v_template + jnp.einsum("vck,k->vc", model.shapedirs, coeffs)
     joints_rest = model.j_regressor @ v_shaped  # (J, 3)

@@ -206,7 +206,7 @@ def _fusion_block_from_torch(sd: SD, prefix: str, num_layers: int) -> dict:
     return params
 
 
-def ast_disentangler_from_torch(sd: SD) -> dict:
+def ast_disentangler_from_torch(sd: SD, depth: int = 12) -> dict:
     """Reference AST_EVP -> flax ASTDisentangler params (AST_EVP.py:44-65)."""
     fusion = _fusion_block_from_torch(sd, "fusion", 2)
     fusion["fc"] = _linear(sd, "fusion.fc")
@@ -216,9 +216,9 @@ def ast_disentangler_from_torch(sd: SD) -> dict:
     decoder["proj1"] = _linear(sd, "decode.projection.0")
     decoder["proj2"] = _linear(sd, "decode.projection.2")
     return {
-        "emo_enc": ast_encoder_from_torch(sd, "emo_enc", label_dim=8),
-        "sty_enc": ast_encoder_from_torch(sd, "sty_enc", label_dim=30),
-        "con_enc": ast_encoder_from_torch(sd, "con_enc", label_dim=0),
+        "emo_enc": ast_encoder_from_torch(sd, "emo_enc", depth, label_dim=8),
+        "sty_enc": ast_encoder_from_torch(sd, "sty_enc", depth, label_dim=30),
+        "con_enc": ast_encoder_from_torch(sd, "con_enc", depth, label_dim=0),
         "fusion": fusion,
         "fusion_ablation": fusion_abl,
         "decoder": decoder,
