@@ -148,6 +148,8 @@ def parse_cli_overrides(pairs: list[str]) -> dict:
     """["gesture.epochs=100", "debug=true"] -> nested override dict."""
     out: dict = {}
     for pair in pairs:
+        if "=" not in pair:
+            raise SystemExit(f"--set expects key=value, got: {pair!r}")
         key, _, raw = pair.partition("=")
         try:
             val = json.loads(raw)

@@ -86,6 +86,10 @@ def task_prepare_data(cfg):
     takes = beat.discover(Path(cfg.data.data_root), Path(cfg.data.mosh_root))
     subset = beat.stage2_subset(takes)
     print(f"[prepare_data] {len(subset)} stage-2 takes discovered")
+    if not takes:
+        print(f"[prepare_data] WARNING: nothing under {cfg.data.data_root} - "
+              "check data.data_root/data.mosh_root; not writing empty datasets")
+        return
     pipe = _make_pipeline(cfg)
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -307,6 +311,9 @@ def task_infer_gesture(cfg, wav_dir: str = "viz_dump/test/speech"):
     run_dir, _, _ = _setup(cfg)
     pipe = _make_pipeline(cfg)
     wavs = sorted(Path(wav_dir).glob("*.wav"))
+    if not wavs:
+        print(f"[infer] no .wav files found under {wav_dir}")
+        return
     reps = max(1, cfg.test.replication_times)  # trainer.py:550 semantics
     for wav in wavs:
         wave = load_wav_resampled(wav)
