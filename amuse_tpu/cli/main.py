@@ -314,13 +314,18 @@ def task_infer_gesture(cfg, wav_dir: str = "viz_dump/test/speech"):
     if not wavs:
         print(f"[infer] no .wav files found under {wav_dir}")
         return
+    from amuse_tpu.data.actors import NAME_TO_ACTOR
+
     reps = max(1, cfg.test.replication_times)  # trainer.py:550 semantics
     for wav in wavs:
         wave = load_wav_resampled(wav)
+        # BEAT-style stems carry the actor name (e.g. 2_scott_0_9_9); use it
+        # so the exported npz gets the right gender/betas
+        subject = next((p for p in wav.stem.split("_") if p in NAME_TO_ACTOR), "")
         for rep in range(reps):
             result = pipe.infer_wav(wave, seed=cfg.seed + rep)
             rep_dir = run_dir / "gesture" / wav.stem / f"rep{rep}"
-            paths = export_windows(rep_dir, result, stem=wav.stem)
+            paths = export_windows(rep_dir, result, subject=subject, stem=wav.stem)
         print(f"[infer] {wav.name}: {len(paths)} windows x {reps} reps -> "
               f"{run_dir / 'gesture' / wav.stem}")
 

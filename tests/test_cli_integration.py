@@ -80,3 +80,5 @@ def test_prepare_train_infer(beat_tree, tmp_path):
     d = np.load(runs[0])
     assert d["poses"].shape == (300, 55, 3)
     assert d["trans"].shape == (300, 3)
+    # the actor name parsed from the BEAT-style stem drives gender/betas
+    assert str(d["gender"]) == "male"  # 2_scott_0_9_9 -> scott
