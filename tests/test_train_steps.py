@@ -162,7 +162,12 @@ class TestGraftEntry:
         out = jax.jit(fn)(*args)
         assert out.shape == (32, 1, 128)
 
-    def test_dryrun_multichip(self):
+    def test_dryrun_multichip_under_driver_env(self, monkeypatch):
+        """Regression for round-1 MULTICHIP failure: the driver calls
+        dryrun_multichip directly with JAX_PLATFORMS preset to the tunnelled
+        TPU platform; the function must bootstrap its own virtual CPU mesh."""
         import __graft_entry__ as ge
 
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        monkeypatch.setenv("XLA_FLAGS", "")
         ge.dryrun_multichip(8)
