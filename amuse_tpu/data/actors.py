@@ -5,10 +5,12 @@ take numbering) used across the pipeline, equivalent to the reference's
 tables in dm/dm.py:43-75 and dm/utils/ldm_evals.py:4-154.
 
 Per-actor 300-dim MoSh betas are *dataset-derived artefacts* (the reference
-hardcodes ~1800 lines of them in ldm_evals.py:457-2300). They are loaded
-from an npz next to the data root (``actor_betas.npz``: one (300,) array per
-actor name) when available; otherwise zeros - gestures are unaffected, only
-the body shape of the rendered mesh and the vertex-loss constants change.
+hardcodes ~1800 lines of them in ldm_evals.py:457-2300). The 26 actors the
+reference ships betas for are vendored in ``actor_betas.npz`` next to this
+module (numeric data, not code); the remaining 4 (zhang, jaime, kexin,
+hanieh) have no betas upstream either (``fetchbetas`` raises for them,
+ldm_evals.py:362,367,371,376) - we warn loudly and fall back to zeros for
+those instead of crashing. ``AMUSE_TPU_BETAS`` overrides the table path.
 """
 
 from __future__ import annotations
@@ -121,30 +123,43 @@ def takes_for_emotion(emotion: str) -> tuple[str, str]:
 
 
 _BETAS_CACHE: dict[str, np.ndarray] | None = None
+_WARNED_MISSING: set[str] = set()
 
 
 def _load_betas() -> dict[str, np.ndarray]:
     global _BETAS_CACHE
     if _BETAS_CACHE is None:
-        _BETAS_CACHE = {}
-        path = os.environ.get("AMUSE_TPU_BETAS", "")
-        candidates = [path] if path else []
-        candidates += [str(Path(__file__).parent / "actor_betas.npz"), "actor_betas.npz"]
-        for c in candidates:
-            if c and Path(c).is_file():
-                d = np.load(c, allow_pickle=False)
-                _BETAS_CACHE = {k: np.asarray(d[k], np.float64) for k in d.files}
-                break
+        path = os.environ.get("AMUSE_TPU_BETAS", "") or str(
+            Path(__file__).parent / "actor_betas.npz"
+        )
+        if not Path(path).is_file():
+            raise FileNotFoundError(
+                f"actor betas table not found at {path} - the bundled "
+                "amuse_tpu/data/actor_betas.npz ships with the package; set "
+                "AMUSE_TPU_BETAS to point at a replacement"
+            )
+        d = np.load(path, allow_pickle=False)
+        _BETAS_CACHE = {k: np.asarray(d[k], np.float64) for k in d.files}
     return _BETAS_CACHE
 
 
 def subject_to_gender_beta(subject: str) -> tuple[str, np.ndarray]:
     """actor name -> (gender, (300,) betas); the reference's
-    ``subject2genderbeta`` (ldm_evals.py) with file-backed betas."""
+    ``subject2genderbeta`` (ldm_evals.py:67-71) backed by the vendored table."""
+    import warnings
+
     actor = NAME_TO_ACTOR.get(subject)
     gender = actor.gender if actor else "neutral"
     betas = _load_betas().get(subject)
     if betas is None:
+        if subject not in _WARNED_MISSING:
+            _WARNED_MISSING.add(subject)
+            warnings.warn(
+                f"no MoSh betas for actor {subject!r} (the reference has none "
+                "for zhang/jaime/kexin/hanieh either) - using a zero body "
+                "shape; rendered mesh and vertex loss will use the template",
+                stacklevel=2,
+            )
         betas = np.zeros(NUM_BETAS, np.float64)
     return gender, betas
 

@@ -50,6 +50,47 @@ class TestActors:
         g2, _ = actors.subject_to_gender_beta("scott")
         assert g2 == "male"
 
+    def test_vendored_betas_nonzero_out_of_the_box(self):
+        # 26 actors ship real MoSh betas (ldm_evals.py:457-2300); spot-check
+        # a few leading coefficients against the reference table.
+        _, b = actors.subject_to_gender_beta("scott")
+        assert np.abs(b).sum() > 1.0
+        _, t = actors.subject_to_gender_beta("tiffnay")
+        np.testing.assert_allclose(
+            t[:3], [-1.12456942, 0.24825145, 0.24261136], atol=1e-7
+        )
+        shipped = [
+            a.name
+            for a in actors.ACTORS.values()
+            if a.name not in ("zhang", "jaime", "kexin", "hanieh")
+        ]
+        for name in shipped:
+            _, b = actors.subject_to_gender_beta(name)
+            assert np.abs(b).sum() > 0, name
+
+    def test_missing_actor_betas_warn_and_zero(self):
+        import warnings
+
+        actors._WARNED_MISSING.discard("zhang")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            _, b = actors.subject_to_gender_beta("zhang")
+        assert np.abs(b).sum() == 0
+        assert any("zhang" in str(x.message) for x in w)
+
+    def test_npz_export_embeds_real_betas(self, tmp_path):
+        from amuse_tpu.viz.export import write_smplx_npz
+
+        p = write_smplx_npz(
+            tmp_path / "x.npz",
+            np.zeros((4, 55, 3)),
+            np.zeros((4, 3)),
+            subject="scott",
+        )
+        d = np.load(p)
+        assert np.abs(d["betas"]).sum() > 1.0
+        assert str(d["gender"]) == "male"
+
     def test_pretrained_takes_cover_8_emotions(self):
         assert len(actors.PRETRAINED_TAKES) == 8
         assert len(actors.PRETRAINED_TAKE_NUMBERS) == 16
