@@ -158,13 +158,11 @@ def task_train_audio(cfg):
     state = ta.init_state(key, tcfg)
     start_epoch = 0
     if cfg.resume:
-        restored, meta = CheckpointManager(cfg.resume).restore(template=state.params)
-        state = state._replace(params=restored)
-        start_epoch = int(meta.get("step", 0))
-        print(f"[AST-T] resumed params from {cfg.resume} at epoch {start_epoch}")
+        from amuse_tpu.train.checkpoint import restore_train_state
+
+        state, start_epoch = restore_train_state(cfg.resume, state, "AST-T")
     state = replicate(mesh, state)
     ckpt = CheckpointManager(run_dir / "checkpoints") if not cfg.debug else None
-    rng = np.random.default_rng(cfg.seed)
     n_dev = mesh.devices.size
     bsz = max(cfg.audio.batch_size, n_dev)
 
@@ -211,6 +209,9 @@ def task_train_audio(cfg):
         for epoch in range(start_epoch, tcfg.epochs):
             state = set_lr(state, epoch)
             t0, logs = time.time(), {}
+            # epoch-keyed shuffle rng: a killed-and-resumed run sees the
+            # exact batch order an unkilled run would (resume parity test)
+            rng = np.random.default_rng([cfg.seed, epoch])
             for i, batch in enumerate(stage1.batches(train, bsz, rng)):
                 batch = shard_batch(mesh, batch)
                 state, logs = step_fn(state, batch, jax.random.fold_in(key, epoch * 100_000 + i))
@@ -220,7 +221,9 @@ def task_train_audio(cfg):
             print(f"[AST-T] epoch {epoch + 1}/{tcfg.epochs} ({time.time() - t0:.1f}s): "
                   + ", ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()))
             if ckpt:
-                ckpt.save(epoch + 1, state.params, metrics)
+                # full state (params + optimizer moments + step): the
+                # reference's wOpt semantics (trainer.py:468-496)
+                ckpt.save(epoch + 1, state, metrics)
 
 
 def task_train_gesture(cfg):
@@ -268,18 +271,18 @@ def task_train_gesture(cfg):
     state = tg.init_state(key, prior_cfg, den_cfg, tcfg)
     start_epoch = 0
     if cfg.resume:
-        restored, meta = CheckpointManager(cfg.resume).restore(template=state.params)
-        state = state._replace(params=restored)
-        start_epoch = int(meta.get("step", 0))
-        print(f"[LPDM-T] resumed params from {cfg.resume} at epoch {start_epoch}")
+        from amuse_tpu.train.checkpoint import restore_train_state
+
+        state, start_epoch = restore_train_state(cfg.resume, state, "LPDM-T")
     state = replicate(mesh, state)
     ckpt = CheckpointManager(run_dir / "checkpoints") if not cfg.debug else None
-    rng = np.random.default_rng(cfg.seed)
 
     from amuse_tpu.data.prefetch import prefetch_to_device
     from amuse_tpu.parallel import batch_sharding
 
-    def host_batches():
+    def host_batches(epoch):
+        # epoch-keyed shuffle rng -> step-identical kill/resume
+        rng = np.random.default_rng([cfg.seed, epoch])
         for b in data.batches(tcfg.batch_size, rng):
             yield {
                 "motion": b["motion"],
@@ -292,7 +295,7 @@ def task_train_gesture(cfg):
     with mesh:
         for epoch in range(start_epoch, tcfg.epochs):
             t0, logs = time.time(), {}
-            batches = prefetch_to_device(host_batches(), 2, batch_sharding(mesh))
+            batches = prefetch_to_device(host_batches(epoch), 2, batch_sharding(mesh))
             for i, batch in enumerate(batches):
                 fn = step_mon if i % tcfg.monitor_every == 0 else step_fast
                 state, logs = fn(state, batch, jax.random.fold_in(key, epoch * 100_000 + i))
@@ -300,7 +303,8 @@ def task_train_gesture(cfg):
             print(f"[LPDM-T] epoch {epoch + 1}/{tcfg.epochs} ({time.time() - t0:.1f}s): "
                   + ", ".join(f"{k}={float(v):.6f}" for k, v in logs.items()))
             if ckpt and (epoch + 1) % tcfg.checkpoint_every == 0:
-                ckpt.save(epoch + 1, state.params, {k: float(v) for k, v in logs.items()})
+                # full state incl. optimizer moments (wOpt semantics)
+                ckpt.save(epoch + 1, state, {k: float(v) for k, v in logs.items()})
 
 
 def task_infer_gesture(cfg, wav_dir: str = "viz_dump/test/speech"):

@@ -78,6 +78,28 @@ class CheckpointManager:
         return pick[1]
 
 
+def restore_train_state(directory, state, label: str) -> tuple[Any, int]:
+    """Restore a full TrainState (params + optimizer moments + step), the
+    analog of the reference's wOpt checkpoints (trainer.py:468-496).
+
+    Falls back to params-only restore for checkpoints written before the
+    full-state format (with a loud warning - optimizer moments restart).
+    Returns (state, start_epoch).
+    """
+    mgr = CheckpointManager(directory)
+    try:
+        restored, meta = mgr.restore(template=state)
+        what = "full train state (params + optimizer)"
+        state = type(state)(*restored) if isinstance(restored, (tuple, list)) else restored
+    except Exception:
+        restored, meta = mgr.restore(template=state.params)
+        state = state._replace(params=restored)
+        what = "params ONLY (old checkpoint format; optimizer moments reset)"
+    start_epoch = int(meta.get("step", 0))
+    print(f"[{label}] resumed {what} from {directory} at epoch {start_epoch}")
+    return state, start_epoch
+
+
 def _jsonable(d: dict) -> dict:
     out = {}
     for k, v in d.items():

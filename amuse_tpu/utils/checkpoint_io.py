@@ -31,11 +31,22 @@ def load_pipeline_params(cfg=None) -> Optional[PipelineParams]:
     return None
 
 
+def _unwrap_params(tree):
+    """Trainers checkpoint the full TrainState (params, opt_state, step);
+    older checkpoints stored bare params. Accept both layouts."""
+    if isinstance(tree, dict) and "params" in tree:
+        return tree["params"]
+    if isinstance(tree, (list, tuple)) and len(tree) == 3:
+        return tree[0]
+    return tree
+
+
 def _from_orbax(root: Path) -> Optional[PipelineParams]:
     from amuse_tpu.train.checkpoint import CheckpointManager
 
     mgr = CheckpointManager(root)
     tree, _ = mgr.restore()
+    tree = _unwrap_params(tree)
     # trainers save {"prior": ..., "denoiser": ...} or raw AST params
     if isinstance(tree, dict) and {"prior", "denoiser"} <= set(tree):
         ast = _maybe_ast_params()
@@ -52,7 +63,7 @@ def _maybe_ast_params():
     from amuse_tpu.train.checkpoint import CheckpointManager
 
     tree, _ = CheckpointManager(Path(path)).restore()
-    return tree
+    return _unwrap_params(tree)
 
 
 def _from_torch_dir(root: Path) -> Optional[PipelineParams]:

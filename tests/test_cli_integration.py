@@ -56,6 +56,45 @@ def make_cfg(beat_tree, workdir):
 
 
 @pytest.mark.integration
+def test_resume_is_step_identical(beat_tree, tmp_path):
+    """A run killed after epoch 1 and resumed (full TrainState: params +
+    optimizer moments + step) produces the SAME epoch-2 losses as an
+    unkilled 2-epoch run — the reference's wOpt semantics done right."""
+    import dataclasses
+    import json
+
+    def losses(run_root, epoch):
+        log = sorted(run_root.glob("*/metrics.jsonl"))[-1]
+        rows = [json.loads(l) for l in log.read_text().splitlines()]
+        return {k: v for r in rows if r["step"] == epoch for k, v in r.items()}
+
+    def run(workdir, epochs, resume=""):
+        cfg = make_cfg(beat_tree, workdir)
+        cfg = dataclasses.replace(
+            cfg,
+            debug=False,
+            resume=resume,
+            gesture=dataclasses.replace(
+                cfg.gesture, epochs=epochs, model_save_freq=1
+            ),
+        )
+        cli.task_prepare_data(cfg)
+        cli.task_train_gesture(cfg)
+        return workdir / "runs"
+
+    full = run(tmp_path / "full", 2)
+    part = run(tmp_path / "part", 1)
+    part_ckpt = sorted(part.glob("*/checkpoints"))[-1]
+    resumed = run(tmp_path / "part", 2, resume=str(part_ckpt))
+
+    want, got = losses(full, 1), losses(resumed, 1)
+    assert got, "resumed run logged no epoch-2 metrics"
+    for k in want:
+        if k.startswith("train_"):
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-6, err_msg=k)
+
+
+@pytest.mark.integration
 def test_prepare_train_infer(beat_tree, tmp_path):
     cfg = make_cfg(beat_tree, tmp_path)
 
