@@ -198,6 +198,52 @@ def ast_encoder_from_torch(sd: SD, prefix: str, depth: int = 12, label_dim: int 
     return params
 
 
+def vit_from_hf_deit(sd: SD, depth: int) -> dict:
+    """HuggingFace DeiTModel state_dict -> the ViT subtree of ASTEncoder
+    params (embeddings + blocks + final norm; feature/label heads are AMUSE
+    additions with no HF counterpart).
+
+    Token order matches: HF DeiTEmbeddings concatenates
+    [cls, distillation, patches], as does ASTEncoder. HF stores separate
+    q/k/v projections; our ViTBlock uses the fused qkv layout, so the three
+    kernels are concatenated along the output dim.
+    """
+
+    def block(i: int) -> dict:
+        p = f"encoder.layer.{i}"
+        qkv_w = np.concatenate(
+            [sd[f"{p}.attention.attention.{n}.weight"] for n in ("query", "key", "value")],
+            axis=0,
+        )
+        qkv_b = np.concatenate(
+            [sd[f"{p}.attention.attention.{n}.bias"] for n in ("query", "key", "value")]
+        )
+        return {
+            "norm1": _layernorm(sd, f"{p}.layernorm_before"),
+            "qkv": {"kernel": _t(qkv_w), "bias": qkv_b},
+            "attn_proj": _linear(sd, f"{p}.attention.output.dense"),
+            "norm2": _layernorm(sd, f"{p}.layernorm_after"),
+            "mlp_fc1": _linear(sd, f"{p}.intermediate.dense"),
+            "mlp_fc2": _linear(sd, f"{p}.output.dense"),
+        }
+
+    conv_w = sd["embeddings.patch_embeddings.projection.weight"]  # (E, C, k, k)
+    kernel = conv_w.reshape(conv_w.shape[0], -1).T
+    params = {
+        "patch_proj": {
+            "kernel": np.ascontiguousarray(kernel),
+            "bias": sd["embeddings.patch_embeddings.projection.bias"],
+        },
+        "cls_token": sd["embeddings.cls_token"],
+        "dist_token": sd["embeddings.distillation_token"],
+        "pos_embed": sd["embeddings.position_embeddings"],
+        "norm": _layernorm(sd, "layernorm"),
+    }
+    for i in range(depth):
+        params[f"block_{i}"] = block(i)
+    return params
+
+
 def _fusion_block_from_torch(sd: SD, prefix: str, num_layers: int) -> dict:
     params = {}
     for i in range(num_layers):

@@ -131,6 +131,23 @@ class TestChunkPipeline:
         # reference quirk mode: windows shifted by one sample
         assert quirk[1][0] - quirk[0][0] == 1.0
 
+    def test_parity_vs_transformers_golden(self):
+        """External third-party oracle: huggingface transformers'
+        ASTFeatureExtractor reimplements the exact torchaudio Kaldi fbank
+        call of the reference (dm/dm.py:429-437) in numpy. The committed
+        golden (tests/goldens/make_fbank_golden.py) pins our front-end to
+        independently-authored code, not a same-author spec reading."""
+        d = np.load(Path(__file__).parent / "goldens" / "fbank_transformers.npz")
+        for name in ["speechish", "tone440"]:
+            mine = np.asarray(
+                fb.pad_or_crop(fb.fbank(jnp.asarray(d[f"wave_{name}"])))
+            )
+            ref = d[f"fbank_{name}"]
+            assert mine.shape == ref.shape == (1024, 128)
+            # f32 pipeline vs f64 oracle in log-mel space
+            np.testing.assert_allclose(mine, ref, atol=2e-2)
+            assert np.abs(mine - ref).mean() < 3e-3
+
     def test_mel_bank_structure(self):
         bank = fb._mel_bank_np()
         assert bank.shape == (257, 128)

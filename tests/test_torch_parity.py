@@ -149,6 +149,58 @@ class TestTimestepEmbedding:
         np.testing.assert_allclose(np.asarray(out), to_np(ref), atol=1e-5)
 
 
+class TestHFDeiTParity:
+    def test_vit_backbone_matches_hf_deit(self):
+        """Third-party oracle for the whole ViT backbone: huggingface
+        transformers' DeiTModel (independent torch implementation of the
+        distilled ViT the AST wraps, audio_main_new.py:49-163). A tiny
+        randomly-initialised DeiT forward must match our ASTEncoder's
+        embeddings + blocks + final LayerNorm bit-for-bit-ish when weights
+        are imported via vit_from_hf_deit."""
+        import jax
+
+        from transformers import DeiTConfig, DeiTModel
+
+        from amuse_tpu.models.ast import ASTConfig, ASTEncoder
+
+        torch.manual_seed(7)
+        hf_cfg = DeiTConfig(
+            hidden_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=256,
+            image_size=32,
+            patch_size=16,
+            num_channels=1,
+            hidden_act="gelu",
+            hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+            layer_norm_eps=1e-6,
+        )
+        hf = DeiTModel(hf_cfg, add_pooling_layer=False).eval()
+        img = torch.randn(2, 1, 32, 32)
+        with torch.no_grad():
+            ref = hf(img).last_hidden_state  # (2, 2+4, 64)
+
+        cfg = ASTConfig(
+            input_tdim=32, input_fdim=32, fstride=16, tstride=16,
+            embed_dim=64, depth=2, num_heads=4, remat=False,
+        )
+        assert cfg.num_patches == 4
+        model = ASTEncoder(cfg)
+        spec = jnp.asarray(to_np(img)[:, 0]).swapaxes(-1, -2)  # (B, T=W, F=H)
+        params = model.init(jax.random.key(0), spec)["params"]
+        imported = ti.vit_from_hf_deit(
+            ti.state_dict_to_numpy(hf.state_dict()), depth=2
+        )
+        params = {**params, **imported}  # heads stay at init (unused here)
+        _, state = model.apply(
+            {"params": params}, spec, capture_intermediates=True
+        )
+        mine = np.asarray(state["intermediates"]["norm"]["__call__"][0])
+        np.testing.assert_allclose(mine, to_np(ref), atol=2e-4)
+
+
 class TestPatchEmbedParity:
     def test_patch_matmul_equals_conv2d(self):
         # Conv2d(1, E, 16, stride=(10, 10)) over (B, 1, 128, 1024) must equal
