@@ -28,6 +28,10 @@ class DataConfig:
     fps: int = 30
     window_frames: int = 300
     sample_rate: int = 16_000
+    # bvh2smplx_ external-tool assets (reference: configs/base_new.json
+    # blender paths + the bundled SMPL-X T-pose rig / ARP bone-map preset)
+    tpose_smplx_bvh: str = ""
+    arp_preset: str = ""
 
 
 @dataclass(frozen=True)

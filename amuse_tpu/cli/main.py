@@ -442,16 +442,62 @@ def task_eval_gesture(cfg):
 
 
 def task_bvh2smplx(cfg):
-    """BVH -> SMPL-X retargeting requires Blender + Auto-Rig-Pro (external
-    native tools, reference: retarget_smpl2bvh2beatnpzWbetas.py). We gate it."""
+    """BEAT BVH -> SMPL-X npz (reference: dm.beat2smplnpz +
+    retarget_smpl2bvh2beatnpzWbetas.py).
+
+    Two legs: (1) the Auto-Rig-Pro retarget runs inside Blender (external
+    native tool, gated on availability); (2) the Euler->axis-angle 55-joint
+    conversion is pure numpy (data/bvh.py) and also accepts BVHs that were
+    already retargeted (>= 55 joints), so the math leg works Blender-free.
+    Outputs land in ``data.mosh_root`` ready for ``prepare_data``.
+    """
+    import subprocess
+
+    from amuse_tpu.data.bvh import convert_retargeted_bvh_to_npz, parse_bvh
     from amuse_tpu.viz.export import have_binary
 
-    if not have_binary("blender"):
-        print("[bvh2smplx_] Blender not available in this environment; this "
-              "step is an external-tool pipeline (see reference docs). The "
-              "training/inference paths consume MoSh npz directly.")
+    bvhs = sorted(Path(cfg.data.data_root).glob("*/*.bvh"))
+    if not bvhs:
+        print(f"[bvh2smplx_] no .bvh files under {cfg.data.data_root}")
         return
-    raise NotImplementedError("Blender bridge scripting lands with the viz milestone")
+    out_root = Path(cfg.data.mosh_root)
+    blender = have_binary("blender")
+    shim = Path(__file__).resolve().parents[1] / "viz" / "blender" / "retarget_bvh.py"
+    done = skipped = 0
+    for bvh_path in bvhs:
+        stem = bvh_path.stem  # e.g. 2_scott_0_9_9
+        parts = stem.split("_")
+        subject = parts[1] if len(parts) > 1 and not parts[1].isdigit() else ""
+        out_npz = out_root / f"{stem}.npz"
+        if out_npz.exists():
+            continue  # restartable, like every reference preprocessing step
+        n_joints = sum(1 for j in parse_bvh(bvh_path).joints if not j.is_end_site)
+        if n_joints >= 55:
+            convert_retargeted_bvh_to_npz(bvh_path, out_npz, subject=subject)
+            done += 1
+        elif blender and cfg.data.tpose_smplx_bvh:
+            cmd = [
+                "blender", "-b", "-P", str(shim), "--",
+                str(bvh_path), cfg.data.tpose_smplx_bvh, str(out_npz),
+                cfg.data.arp_preset, subject,
+            ]
+            rc = subprocess.run(cmd, capture_output=True, text=True)
+            if rc.returncode != 0:
+                print(f"[bvh2smplx_] blender failed on {bvh_path.name}: "
+                      f"{rc.stderr[-300:]}")
+                skipped += 1
+            else:
+                done += 1
+        else:
+            reason = (
+                "needs Blender + Auto-Rig-Pro (not available here)"
+                if not blender
+                else "set data.tpose_smplx_bvh to the SMPL-X T-pose rig"
+            )
+            print(f"[bvh2smplx_] {bvh_path.name}: {n_joints}-joint BEAT "
+                  f"skeleton; retarget {reason}")
+            skipped += 1
+    print(f"[bvh2smplx_] converted {done}, skipped {skipped} -> {out_root}")
 
 
 TASKS = {

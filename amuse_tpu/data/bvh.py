@@ -156,6 +156,73 @@ def bvh_to_axis_angle(bvh: BvhData) -> tuple[np.ndarray, np.ndarray, list[str]]:
     return np.stack(poses, axis=1), np.asarray(trans, np.float32), [j.name for j in real]
 
 
+# ---------------------------------------------------------------------------
+# BEAT-retargeted BVH -> SMPL-X npz conversion (the bvh2smplx_ core).
+#
+# Skeleton correspondence facts from the reference's converter
+# (retarget_smpl2bvh2beatnpzWbetas.py:2193-2233): after Auto-Rig-Pro
+# retargets a BEAT capture onto the SMPL-X rig and Blender re-exports it as
+# BVH, the file's joint order is NOT SMPL-X order; slot j of the SMPL-X pose
+# takes the BVH joint BEAT55_BVH_TO_SMPLX_ORDER[j]. Source joints 14-16 (the
+# head-end/eye helpers picked up by slots 22-24 = jaw/left-eye/right-eye) are
+# zeroed. The root translation is recentred by the SMPL-X rest-pose root
+# offset (cm) and converted to metres.
+# ---------------------------------------------------------------------------
+
+BEAT55_BVH_TO_SMPLX_ORDER = np.array([
+    0, 1, 5, 9, 2, 6, 10, 3, 7, 11, 4, 8, 12, 17, 36, 13, 18, 37, 19, 38,
+    20, 39, 14, 15, 16, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33,
+    34, 35, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52, 53, 54,
+])
+ZEROED_SOURCE_JOINTS = (14, 15, 16)  # land at SMPL-X slots 22/23/24
+SMPLX_REST_ROOT_OFFSET_CM = np.array([0.31232587, -35.140743, 1.2036551])
+
+
+def retargeted_bvh_to_smplx(bvh: BvhData) -> tuple[np.ndarray, np.ndarray, float]:
+    """Retargeted (55+ joint) BVH -> ((T, 55, 3) axis-angle, (T, 3) m, fps).
+
+    Differences from the reference worth knowing: the reference's vendored
+    converter interprets Euler columns as fixed (z, y, x) regardless of the
+    file's CHANNELS declaration; we honour the declared channel order (the
+    two agree on Blender's ZYX exports, and ours is also correct for any
+    other order). Reordering before or after the per-joint Euler->axis-angle
+    conversion is equivalent; we reorder after.
+    """
+    poses_aa, trans_cm, names = bvh_to_axis_angle(bvh)
+    if poses_aa.shape[1] < BEAT55_BVH_TO_SMPLX_ORDER.max() + 1:
+        raise ValueError(
+            f"expected a retargeted SMPL-X skeleton with >= 55 joints, got "
+            f"{poses_aa.shape[1]} ({names[:5]}...) - run the Blender "
+            "Auto-Rig-Pro retarget step first"
+        )
+    poses = poses_aa[:, BEAT55_BVH_TO_SMPLX_ORDER].copy()
+    poses[:, np.isin(BEAT55_BVH_TO_SMPLX_ORDER, ZEROED_SOURCE_JOINTS)] = 0.0
+    trans = (np.asarray(trans_cm, np.float64) - SMPLX_REST_ROOT_OFFSET_CM) / 100.0
+    return poses.astype(np.float64), trans, float(np.ceil(bvh.fps))
+
+
+def convert_retargeted_bvh_to_npz(bvh_path, out_npz, subject: str = "") -> Path:
+    """Numpy leg of bvh2smplx_: parse + reorder + convert + write the
+    SMPL-X npz with the actor's gender/betas (reference npz layout,
+    retarget_smpl2bvh2beatnpzWbetas.py:2224-2233)."""
+    from amuse_tpu.data.actors import subject_to_gender_beta
+
+    data = parse_bvh(bvh_path)
+    poses, trans, fps = retargeted_bvh_to_smplx(data)
+    gender, betas = subject_to_gender_beta(subject)
+    out_npz = Path(out_npz)
+    out_npz.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(
+        out_npz,
+        poses=poses,
+        trans=trans,
+        gender=np.array(gender, dtype="<U7"),
+        mocap_frame_rate=np.array(fps, dtype="float64"),
+        betas=np.asarray(betas, np.float64),
+    )
+    return out_npz
+
+
 def write_bvh(path, bvh: BvhData) -> Path:
     """Re-export a BvhData (hierarchy + frames) as a BVH file."""
     path = Path(path)

@@ -3,7 +3,7 @@
 Runs INSIDE Blender (the reference's bvh2smplx_ workhorse role,
 retarget_smpl2bvh2beatnpzWbetas.py):
 
-    blender -b -P retarget_bvh.py -- <beat.bvh> <tpose_smplx.bvh> <out.npz> <preset.json>
+    blender -b -P retarget_bvh.py -- <beat.bvh> <tpose_smplx.bvh> <out.npz> [preset.json] [subject]
 
 Requires the Auto-Rig-Pro add-on (``bpy.ops.arp.retarget``) with a bone-map
 preset for BEAT -> SMPL-X (supplied as a JSON path). After ARP retargets the
@@ -22,6 +22,7 @@ def main():
     argv = sys.argv[sys.argv.index("--") + 1 :]
     beat_bvh, tpose_bvh, out_npz = argv[0], argv[1], argv[2]
     preset = argv[3] if len(argv) > 3 else ""
+    subject = argv[4] if len(argv) > 4 else ""
 
     bpy.ops.wm.read_factory_settings(use_empty=True)
     # source: BEAT capture
@@ -47,25 +48,11 @@ def main():
     bpy.context.view_layer.objects.active = target
     bpy.ops.export_anim.bvh(filepath=retargeted_bvh, root_transform_only=False)
 
-    # numpy conversion (no bpy needed from here on)
-    convert(retargeted_bvh, out_npz)
+    # numpy conversion (no bpy needed from here on): 55-joint SMPL-X
+    # reorder + jaw/eye zeroing + root recentring + gender/betas
+    from amuse_tpu.data.bvh import convert_retargeted_bvh_to_npz
 
-
-def convert(retargeted_bvh: str, out_npz: str) -> None:
-    """Retargeted SMPL-X BVH -> npz via the framework's BVH parser."""
-    import numpy as np
-
-    from amuse_tpu.data.bvh import bvh_to_axis_angle, parse_bvh
-
-    data = parse_bvh(retargeted_bvh)
-    poses, trans, names = bvh_to_axis_angle(data)
-    np.savez(
-        out_npz,
-        poses=poses.astype(np.float64),
-        trans=trans.astype(np.float64),
-        mocap_frame_rate=np.array(data.fps, dtype="float64"),
-        joint_names=np.asarray(names),
-    )
+    convert_retargeted_bvh_to_npz(retargeted_bvh, out_npz, subject=subject)
 
 
 if __name__ == "__main__":

@@ -81,3 +81,93 @@ def test_euler_order_zxy_matches_composition():
 
     expected = rot("Z", 30) @ rot("X", 40) @ rot("Y", 50)
     np.testing.assert_allclose(m, expected, atol=1e-12)
+
+
+def _make_55joint_bvh(tmp_path, n_frames=3, angle_fn=None, root_pos=(10.0, 20.0, 30.0)):
+    """Synthesize a retargeted-SMPL-X-style BVH: 55 joints in a chain, root
+    with 6 channels (pos + ZXY rot), the rest 3 rotation channels."""
+    lines = ["HIERARCHY", "ROOT j0", "{", "  OFFSET 0 0 0",
+             "  CHANNELS 6 Xposition Yposition Zposition Zrotation Xrotation Yrotation"]
+    for i in range(1, 55):
+        pad = "  " * i
+        lines += [f"{pad}JOINT j{i}", f"{pad}{{", f"{pad}  OFFSET 0 1 0",
+                  f"{pad}  CHANNELS 3 Zrotation Xrotation Yrotation"]
+    pad = "  " * 55
+    lines += [f"{pad}End Site", f"{pad}{{", f"{pad}  OFFSET 0 1 0", f"{pad}}}"]
+    for i in range(54, -1, -1):
+        lines.append("  " * i + "}")
+    lines += ["MOTION", f"Frames: {n_frames}", "Frame Time: 0.033333"]
+    for t in range(n_frames):
+        row = list(root_pos)
+        for j in range(55):
+            z = angle_fn(j) if angle_fn else 0.0
+            row += [z, 0.0, 0.0]  # Z-rotation only
+        lines.append(" ".join(f"{v:.6f}" for v in row))
+    p = tmp_path / "retargeted.bvh"
+    p.write_text("\n".join(lines))
+    return p
+
+
+class TestBvh2Smplx:
+    def test_reorder_map_is_a_permutation(self):
+        order = B.BEAT55_BVH_TO_SMPLX_ORDER
+        assert order.shape == (55,)
+        assert sorted(order.tolist()) == list(range(55))
+
+    def test_reorder_and_zeroing(self, tmp_path):
+        # distinctive Z-rotation per source joint: slot j must carry the
+        # angle of source joint ORDER[j]; slots 22-24 (jaw/eyes) are zeroed
+        p = _make_55joint_bvh(tmp_path, angle_fn=lambda j: float(j))
+        poses, trans, fps = B.retargeted_bvh_to_smplx(B.parse_bvh(p))
+        assert poses.shape == (3, 55, 3)
+        order = B.BEAT55_BVH_TO_SMPLX_ORDER
+        for slot in range(55):
+            src = order[slot]
+            expected = 0.0 if src in B.ZEROED_SOURCE_JOINTS else np.deg2rad(src)
+            # Z-rotation by theta -> axis-angle (0, 0, theta)
+            np.testing.assert_allclose(poses[0, slot], [0, 0, expected],
+                                       atol=1e-5, err_msg=f"slot {slot}")
+        assert fps == 31.0  # ceil(1/0.033333)
+
+    def test_root_recentred_to_metres(self, tmp_path):
+        p = _make_55joint_bvh(tmp_path, root_pos=(10.0, 20.0, 30.0))
+        _, trans, _ = B.retargeted_bvh_to_smplx(B.parse_bvh(p))
+        expected = (np.array([10.0, 20.0, 30.0]) - B.SMPLX_REST_ROOT_OFFSET_CM) / 100
+        np.testing.assert_allclose(trans[0], expected, atol=1e-6)
+
+    def test_npz_export_layout_and_betas(self, tmp_path):
+        p = _make_55joint_bvh(tmp_path)
+        out = B.convert_retargeted_bvh_to_npz(p, tmp_path / "out.npz", subject="scott")
+        d = np.load(out)
+        assert set(d.files) == {"poses", "trans", "gender", "mocap_frame_rate", "betas"}
+        assert d["poses"].shape == (3, 55, 3)
+        assert str(d["gender"]) == "male"
+        assert np.abs(d["betas"]).sum() > 1.0  # real MoSh betas, not zeros
+
+    def test_rejects_unretargeted_skeleton(self, tmp_path):
+        import pytest
+
+        p = tmp_path / "beat.bvh"
+        p.write_text(SAMPLE)  # 2-joint skeleton
+        with pytest.raises(ValueError, match="retarget"):
+            B.retargeted_bvh_to_smplx(B.parse_bvh(p))
+
+    def test_cli_task_converts_already_retargeted(self, tmp_path):
+        from amuse_tpu.cli import main as cli
+        from amuse_tpu.cli.config import load_config
+
+        d = tmp_path / "beat" / "2"
+        d.mkdir(parents=True)
+        src = _make_55joint_bvh(tmp_path)
+        (d / "2_scott_0_9_9.bvh").write_text(src.read_text())
+        cfg = load_config(None, {
+            "data": {"data_root": str(tmp_path / "beat"),
+                     "mosh_root": str(tmp_path / "mosh")},
+            "debug": True, "out_dir": str(tmp_path / "runs"),
+        })
+        cli.task_bvh2smplx(cfg)
+        out = tmp_path / "mosh" / "2_scott_0_9_9.npz"
+        assert out.exists()
+        assert str(np.load(out)["gender"]) == "male"
+        # restartable: second run skips existing outputs
+        cli.task_bvh2smplx(cfg)
