@@ -429,13 +429,24 @@ def task_eval_gesture(cfg):
     (its in-repo metric code was dead, SURVEY §2.1)."""
     import json
 
+    from amuse_tpu.core import smplx as smplx_mod
     from amuse_tpu.data.cache import WindowCache
     from amuse_tpu.eval.runner import evaluate_cache
 
     run_dir, logger, _ = _setup(cfg)
     pipe = _make_pipeline(cfg)
     cache = WindowCache(Path(cfg.data.cache_dir))
-    results = evaluate_cache(pipe, cache, batch_size=min(cfg.gesture.batch_size, len(cache)), seed=cfg.seed)
+    # position-space APE/AVE/beat-align via the JAX SMPL-X FK when the body
+    # model is available; rotation-space fallback otherwise (labelled)
+    smplx_path = Path(cfg.data.smplx_model_dir) / "SMPLX_NEUTRAL.npz"
+    smplx_model = smplx_mod.load_model(smplx_path) if smplx_path.exists() else None
+    if smplx_model is None:
+        print("[eval] SMPL-X model npz not found; APE/AVE in rotation space")
+    results = evaluate_cache(
+        pipe, cache,
+        batch_size=min(cfg.gesture.batch_size, len(cache)),
+        seed=cfg.seed, smplx_model=smplx_model,
+    )
     print("[eval]", json.dumps(results, indent=1))
     if not cfg.debug:
         (run_dir / "eval_results.json").write_text(json.dumps(results, indent=1))

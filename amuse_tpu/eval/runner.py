@@ -6,6 +6,18 @@ the prior's latent feature space, generates motion for the same audio
 conditioning, and reports the distributional + per-joint numbers the
 reference only published in its paper (its in-repo metric module was dead
 code, SURVEY §2.1).
+
+Metric spaces:
+  * APE / AVE / beat alignment run on SMPL-X **joint positions** from the
+    JAX FK (core/smplx.py) when a body model is supplied - the reference
+    semantics (MLD's position-space metrics, latent_losses.py vertex/joint
+    space). Without a body model they fall back to axis-angle rotations and
+    the report is labelled ``metric_space: "rotation"``.
+  * FGD's embedding is the motion prior's own latent space (the encoder is
+    the only distribution-level feature extractor in the framework). That is
+    self-referential - fine for tracking training, but NOT comparable to
+    paper FGD numbers computed with an external embedder; the key is named
+    ``fgd`` with that caveat documented here deliberately.
 """
 
 from __future__ import annotations
@@ -15,7 +27,29 @@ import jax.numpy as jnp
 import numpy as np
 
 from amuse_tpu.core import motion as motion_mod
+from amuse_tpu.core import smplx as smplx_mod
 from amuse_tpu.eval import metrics as M
+
+
+def make_fk(smplx_model):
+    """Jitted (B, T, 55, 3) aa + (B, T, 3) + (B, nb) -> (B, T, J, 3) joints.
+
+    The model is closed over (its ``parents`` table drives static control
+    flow and must not be traced), matching make_train_step's pattern.
+    """
+
+    @jax.jit
+    def fk(poses_aa, trans, betas):
+        b, t = poses_aa.shape[:2]
+        poses = poses_aa.reshape(b * t, -1)
+        transl = trans.reshape(b * t, 3)
+        bet = jnp.repeat(betas, t, axis=0)
+        out = smplx_mod.forward_batch(
+            smplx_model, poses, bet, transl, return_vertices=False
+        )
+        return out["joints"].reshape(b, t, -1, 3)
+
+    return fk
 
 
 def evaluate_cache(
@@ -24,11 +58,13 @@ def evaluate_cache(
     max_windows: int = 256,
     batch_size: int = 32,
     seed: int = 0,
+    smplx_model=None,
 ) -> dict[str, float]:
     """-> {fgd, diversity_real, diversity_gen, ape, ave, beat_align_gen}."""
     n = min(len(cache), max_windows)
     real_feats, gen_feats = [], []
     ape_vals, ave_vals, beat_scores = [], [], []
+    fk = make_fk(smplx_model) if smplx_model is not None else None
 
     for start in range(0, n - batch_size + 1, batch_size):
         items = [cache[i] for i in range(start, start + batch_size)]
@@ -46,13 +82,23 @@ def evaluate_cache(
 
         gen_aa, gen_tr = pipe.decode_motion(latents)
         ref_aa, ref_tr = motion_mod.feats6d_to_axis_angle(m6)
-        ape_vals.append(float(M.ape(ref_aa, gen_aa)))
-        ave_vals.append(float(M.ave(ref_aa, gen_aa)))
+        if smplx_model is not None:
+            from amuse_tpu.data.cache import betas_for_actor_ids
+
+            betas = jnp.asarray(
+                betas_for_actor_ids(np.stack([it["actor_id"] for it in items]))
+            )[:, : smplx_model.shapedirs.shape[-1]]
+            ref_sig = fk(ref_aa, ref_tr, betas)
+            gen_sig = fk(gen_aa, gen_tr, betas)
+        else:
+            ref_sig, gen_sig = ref_aa, gen_aa
+        ape_vals.append(float(M.ape(ref_sig, gen_sig)))
+        ave_vals.append(float(M.ave(ref_sig, gen_sig)))
 
         for bi in range(motion.shape[0]):
             if "audio" in items[bi]:
                 ab = M.audio_beats_from_waveform(items[bi]["audio"])
-                mb = M.motion_beats_from_joints(np.asarray(gen_aa[bi]))
+                mb = M.motion_beats_from_joints(np.asarray(gen_sig[bi]))
                 beat_scores.append(M.beat_alignment(mb, ab))
 
     real = jnp.asarray(np.concatenate(real_feats))
@@ -64,6 +110,7 @@ def evaluate_cache(
         "ape": float(np.mean(ape_vals)),
         "ave": float(np.mean(ave_vals)),
         "num_windows": float(real.shape[0]),
+        "metric_space": "position" if smplx_model is not None else "rotation",
     }
     if beat_scores:
         out["beat_align_gen"] = float(np.mean(beat_scores))

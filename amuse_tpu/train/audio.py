@@ -98,16 +98,18 @@ def spec_augment(rng: jax.Array, fbank: jax.Array, freq_mask: int, time_mask: in
     Static-shaped: masks are realised with iota comparisons, the roll with
     jnp.roll on a traced shift - all jit/vmap safe.
     """
-    kf, kt, kn, kr = jax.random.split(rng, 4)
+    # independent keys per draw: mask start and width must be uncorrelated
+    # (torchaudio draws them independently; sharing a key ties them)
+    kf0, kfw, kt0, ktw, kn, kr = jax.random.split(rng, 6)
     t_len, f_len = fbank.shape[-2], fbank.shape[-1]
 
-    f0 = jax.random.randint(kf, (), 0, max(1, f_len - freq_mask))
-    fw = jax.random.randint(kf, (), 0, freq_mask + 1)
+    f0 = jax.random.randint(kf0, (), 0, max(1, f_len - freq_mask))
+    fw = jax.random.randint(kfw, (), 0, freq_mask + 1)
     f_idx = jnp.arange(f_len)
     fbank = jnp.where((f_idx >= f0) & (f_idx < f0 + fw), 0.0, fbank)
 
-    t0 = jax.random.randint(kt, (), 0, max(1, t_len - time_mask))
-    tw = jax.random.randint(kt, (), 0, time_mask + 1)
+    t0 = jax.random.randint(kt0, (), 0, max(1, t_len - time_mask))
+    tw = jax.random.randint(ktw, (), 0, time_mask + 1)
     t_idx = jnp.arange(t_len)[:, None]
     fbank = jnp.where((t_idx >= t0) & (t_idx < t0 + tw), 0.0, fbank)
 

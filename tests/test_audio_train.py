@@ -59,6 +59,22 @@ class TestSpecAugment:
         out = ta.spec_augment(jax.random.key(1), fb, 0, 0, noise=True)
         assert float(jnp.abs(out).sum()) > 0  # additive uniform noise
 
+    def test_mask_start_and_width_independent(self):
+        """Regression: start and width once shared a PRNG key, correlating
+        the draws (torchaudio draws them independently). Measure the
+        frequency-mask width distribution over many keys; with independent
+        draws it is ~uniform on [0, F] regardless of start."""
+        fb = jnp.ones((64, 32))
+        fmask = 16
+        widths = []
+        for s in range(300):
+            out = ta.spec_augment(jax.random.key(s), fb, fmask, 0, noise=False)
+            widths.append(int((np.asarray(out)[0] == 0).sum()))
+        widths = np.asarray(widths)
+        # uniform on {0..16}: mean 8, and full support actually visited
+        assert 6.5 < widths.mean() < 9.5, widths.mean()
+        assert widths.min() == 0 and widths.max() == fmask
+
     def test_deterministic_given_key(self):
         fb = jnp.asarray(np.random.default_rng(2).normal(size=(64, 32)), jnp.float32)
         a = ta.spec_augment(jax.random.key(3), fb, 8, 16, True)
