@@ -117,7 +117,18 @@ class Config:
 
 
 def _merge(cfg: Any, overrides: dict) -> Any:
-    """Pure recursive override: returns a NEW frozen config."""
+    """Pure recursive override: returns a NEW frozen config.
+
+    Unknown keys are an error (typo protection); keys starting with "_"
+    are documentation and ignored (JSON has no comments).
+    """
+    known = {f.name for f in dataclasses.fields(cfg)}
+    unknown = [k for k in overrides if k not in known and not k.startswith("_")]
+    if unknown:
+        raise SystemExit(
+            f"unknown config key(s) {unknown} for {type(cfg).__name__}; "
+            f"valid keys: {sorted(known)}"
+        )
     updates = {}
     for f in dataclasses.fields(cfg):
         if f.name not in overrides:

@@ -330,24 +330,46 @@ def task_infer_gesture(cfg, wav_dir: str = "viz_dump/test/speech"):
             result = pipe.infer_wav(wave, seed=cfg.seed + rep)
             rep_dir = run_dir / "gesture" / wav.stem / f"rep{rep}"
             paths = export_windows(rep_dir, result, subject=subject, stem=wav.stem)
+            # optional CPU post-process: Blender render + per-window audio
+            # mux (reference: animate_ldm_sample_v2); no-op without Blender
+            from amuse_tpu.viz.export import render_windows
+
+            videos = render_windows(paths, wav_path=wav)
+            if videos:
+                print(f"[infer] rendered {len(videos)} videos under {rep_dir}")
         print(f"[infer] {wav.name}: {len(paths)} windows x {reps} reps -> "
               f"{run_dir / 'gesture' / wav.stem}")
 
 
 def _export_edit_results(run_dir, task_name, results):
     from amuse_tpu.core import motion as motion_mod
-    from amuse_tpu.viz.export import export_windows
+    from amuse_tpu.viz.export import concat_grid, render_windows
 
     import numpy as np
 
+    from amuse_tpu.viz.export import export_windows
+
     for source_key, variants in results.items():
+        variant_videos = []
         for variant, (poses, trans) in variants.items():
             poses = np.asarray(motion_mod.zero_jaw(poses))
-            export_windows(
+            paths = export_windows(
                 run_dir / task_name / source_key / variant,
                 {"poses": poses, "trans": trans, "fps": 30.0},
                 subject=source_key.split("_")[0],
                 stem=variant,
+            )
+            vids = render_windows(paths)
+            if vids:
+                variant_videos.append(vids[0])
+        # reference composes the variants of one source into a 2x2 / 4x2
+        # comparison grid (trainer.py:903-1034); gated on ffmpeg
+        if len(variant_videos) >= 2:
+            cols = 2 if len(variant_videos) <= 4 else 4
+            concat_grid(
+                variant_videos,
+                run_dir / task_name / source_key / "comparison_grid.mp4",
+                cols=cols,
             )
     print(f"[edit] {task_name}: {len(results)} sources -> {run_dir / task_name}")
 

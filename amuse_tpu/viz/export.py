@@ -87,16 +87,35 @@ def render_with_blender(
     return True
 
 
-def mux_audio(video_in, audio_in, video_out) -> bool:
-    """ffmpeg audio mux (visualizer.py:233-236 pattern); no-op without ffmpeg."""
+def mux_audio(video_in, audio_in, video_out, offset: float | None = None,
+              duration: float | None = None) -> bool:
+    """ffmpeg audio mux (visualizer.py:233-236 pattern); no-op without ffmpeg.
+
+    ``offset``/``duration`` cut the matching audio slice for a 10 s window
+    (the reference slices per seq_{i} at render time, visualizer.py:178-187).
+    """
     if not have_binary("ffmpeg"):
         return False
+    cut = []
+    if offset is not None:
+        cut += ["-ss", str(offset)]
+    if duration is not None:
+        cut += ["-t", str(duration)]
     subprocess.run(
-        ["ffmpeg", "-y", "-i", str(video_in), "-i", str(audio_in),
-         "-c:v", "copy", "-c:a", "aac", str(video_out)],
-        check=True,
+        ["ffmpeg", "-y", "-i", str(video_in), *cut, "-i", str(audio_in),
+         "-c:v", "copy", "-c:a", "aac", "-shortest", str(video_out)],
+        check=True, capture_output=True,
     )
     return True
+
+
+def xstack_layout(n: int, cols: int) -> str:
+    """ffmpeg xstack layout string for n equal-size tiles in a cols-wide grid
+    (e.g. n=4, cols=2 -> "0_0|w0_0|0_h0|w0_h0")."""
+    return "|".join(
+        f"{'+'.join(['w0'] * (i % cols)) or '0'}_{'+'.join(['h0'] * (i // cols)) or '0'}"
+        for i in range(n)
+    )
 
 
 def concat_grid(videos, out_video, cols: int = 2) -> bool:
@@ -108,18 +127,46 @@ def concat_grid(videos, out_video, cols: int = 2) -> bool:
     if not have_binary("ffmpeg") or not videos:
         return False
     n = len(videos)
-    rows = (n + cols - 1) // cols
     inputs = []
     for v in videos:
         inputs += ["-i", str(v)]
-    layout = "|".join(
-        f"{(i % cols)}_{(i // cols)}".replace("0_", "0_", 1)
-        and f"{'+'.join(['w0'] * (i % cols)) or '0'}_{'+'.join(['h0'] * (i // cols)) or '0'}"
-        for i in range(n)
-    )
-    filtergraph = f"xstack=inputs={n}:layout={layout}"
+    filtergraph = f"xstack=inputs={n}:layout={xstack_layout(n, cols)}"
     subprocess.run(
         ["ffmpeg", "-y", *inputs, "-filter_complex", filtergraph, str(out_video)],
-        check=True,
+        check=True, capture_output=True,
     )
     return True
+
+
+DEFAULT_RENDER_SCRIPT = Path(__file__).parent / "blender" / "render_npz.py"
+
+
+def render_windows(
+    npz_paths,
+    wav_path=None,
+    window_seconds: float = 10.0,
+    render_script=DEFAULT_RENDER_SCRIPT,
+    fps: float = 30.0,
+) -> list[Path]:
+    """Per-window render + audio-mux orchestration (animate_ldm_sample_v2,
+    visualizer.py:166-257): each seq_{i} npz -> mp4 next to it, with the
+    matching ``window_seconds`` audio slice muxed in when a wav is given.
+
+    Pure CPU post-processing; returns [] (no-op) when Blender is absent so
+    the TPU path never depends on it.
+    """
+    if not have_binary("blender"):
+        return []
+    videos = []
+    for i, npz in enumerate(sorted(Path(p) for p in npz_paths)):
+        raw = npz.with_suffix(".mp4")
+        if not render_with_blender(npz, raw, render_script=render_script, fps=fps):
+            return videos
+        if wav_path is not None and mux_audio(
+            raw, wav_path, npz.with_name(npz.stem + "_audio.mp4"),
+            offset=i * window_seconds, duration=window_seconds,
+        ):
+            videos.append(npz.with_name(npz.stem + "_audio.mp4"))
+        else:
+            videos.append(raw)
+    return videos

@@ -1,0 +1,106 @@
+"""Viz export / render orchestration + shipped config presets."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from amuse_tpu.cli.config import load_config
+from amuse_tpu.viz import export as vx
+
+CONFIGS = Path(__file__).parents[1] / "configs"
+
+
+class TestXstackLayout:
+    def test_2x2(self):
+        assert vx.xstack_layout(4, 2) == "0_0|w0_0|0_h0|w0_h0"
+
+    def test_4x2(self):
+        got = vx.xstack_layout(8, 4)
+        assert got.split("|")[:4] == ["0_0", "w0_0", "w0+w0_0", "w0+w0+w0_0"]
+        assert got.split("|")[4] == "0_h0"
+
+
+class TestRenderOrchestration:
+    def test_render_windows_noop_without_blender(self, tmp_path, monkeypatch):
+        # point PATH at an empty dir: no blender/ffmpeg -> graceful no-op
+        monkeypatch.setenv("PATH", str(tmp_path))
+        p = vx.write_smplx_npz(
+            tmp_path / "seq_0" / "x.npz", np.zeros((4, 55, 3)), np.zeros((4, 3)),
+            subject="scott",
+        )
+        assert vx.render_windows([p]) == []
+        assert not vx.mux_audio("a.mp4", "a.wav", "out.mp4")
+        assert not vx.concat_grid(["a.mp4", "b.mp4"], "grid.mp4")
+
+    def test_render_script_shipped(self):
+        assert vx.DEFAULT_RENDER_SCRIPT.exists()
+
+    def test_render_windows_with_stub_binaries(self, tmp_path, monkeypatch):
+        """Drive the orchestration sequence with stub blender/ffmpeg that
+        record their argv and create the output file: each npz must get a
+        render + a window-sliced audio mux, grids must get an xstack call."""
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        log = tmp_path / "calls.log"
+        stub = (
+            "#!/bin/sh\n"
+            f'echo "$0 $@" >> {log}\n'
+            # last argument is the output file; create it (shell builtins
+            # only - PATH holds just the stubs)
+            'for a in "$@"; do out="$a"; done\n'
+            ': > "$out"\n'
+        )
+        for name in ("blender", "ffmpeg"):
+            p = bindir / name
+            p.write_text(stub)
+            p.chmod(0o755)
+        monkeypatch.setenv("PATH", str(bindir))
+
+        paths = [
+            vx.write_smplx_npz(
+                tmp_path / f"seq_{i}" / f"x_seq{i}.npz",
+                np.zeros((4, 55, 3)), np.zeros((4, 3)), subject="scott",
+            )
+            for i in range(2)
+        ]
+        wav = tmp_path / "a.wav"
+        wav.write_bytes(b"")
+        videos = vx.render_windows(paths, wav_path=wav)
+        assert len(videos) == 2
+        assert all(v.name.endswith("_audio.mp4") for v in videos)
+        calls = log.read_text().splitlines()
+        blender_calls = [c for c in calls if "blender" in c.split()[0]]
+        ffmpeg_calls = [c for c in calls if "ffmpeg" in c.split()[0]]
+        assert len(blender_calls) == 2 and len(ffmpeg_calls) == 2
+        # second window's audio slice starts at 10 s
+        assert "-ss 10.0" in ffmpeg_calls[1]
+
+        assert vx.concat_grid(videos, tmp_path / "grid.mp4", cols=2)
+        assert "xstack=inputs=2:layout=0_0|w0_0" in log.read_text()
+
+
+class TestShippedPresets:
+    TASKS = ("train_audio", "train_gesture", "prepare_data",
+             "infer_gesture", "edit_gesture", "bvh2smplx_")
+
+    @pytest.mark.parametrize("task", TASKS)
+    def test_preset_loads(self, task):
+        cfg = load_config(str(CONFIGS / f"{task}.json"))
+        assert cfg.data.window_frames == 300
+
+    def test_flagship_knobs_match_reference(self):
+        g = load_config(str(CONFIGS / "train_gesture.json")).gesture
+        # configs/base_new.json:281,293,310-312 + diff_latent_v2.json
+        assert (g.epochs, g.batch_size, g.model_save_freq) == (12000, 32, 200)
+        assert g.smplx_rep == "6D" and g.vtex_displacement
+        a = load_config(str(CONFIGS / "train_audio.json")).audio
+        assert (a.epochs, a.batch_size, a.learning_rate) == (25, 1, 1e-5)
+
+    def test_unknown_key_is_an_error(self):
+        with pytest.raises(SystemExit, match="unknown config key"):
+            load_config(None, {"gesture": {"epochz": 3}})
+
+    def test_comment_keys_ignored(self):
+        cfg = load_config(None, {"_doc": "hi", "gesture": {"_note": "x", "epochs": 3}})
+        assert cfg.gesture.epochs == 3
