@@ -76,6 +76,13 @@ class GestureStageConfig:
     train_upper_body: bool = False
     vtex_displacement: bool = True
     monitor_every: int = 1
+    # C++ ABIN prefetch loader for the train input pipeline. Default False by
+    # measurement (benchmarks/input_pipeline.py): with a warm page cache the
+    # mmap'd npy WindowCache assembles batches faster (540/s vs 359/s at
+    # batch 32) and both tie under a real step; the native loader wins 7x on
+    # a COLD cache (sequential ABIN stream) - flip it on for huge-cache /
+    # network-filesystem runs.
+    native_loader: bool = False
     # prior / denoiser arch
     latent_dim: int = 128
     ff_size: int = 512

@@ -280,10 +280,31 @@ def task_train_gesture(cfg):
     from amuse_tpu.data.prefetch import prefetch_to_device
     from amuse_tpu.parallel import batch_sharding
 
+    native = None
+    if g.native_loader:
+        from amuse_tpu.native import loader as native_mod
+
+        if native_mod.is_available():
+            abin = Path(cfg.data.cache_dir) / "train.abin"
+            if not abin.exists():  # restartable, derived from the cache
+                native_mod.cache_to_abin(
+                    cfg.data.cache_dir, abin,
+                    fields=("motion", "actor_id", "con", "emo", "sty"),
+                )
+            native = native_mod.NativeWindowLoader(abin)
+            print(f"[LPDM-T] native ABIN loader: {len(native)} windows")
+        else:
+            print("[LPDM-T] native loader requested but g++ unavailable; "
+                  "falling back to the Python mmap cache")
+
     def host_batches(epoch):
-        # epoch-keyed shuffle rng -> step-identical kill/resume
-        rng = np.random.default_rng([cfg.seed, epoch])
-        for b in data.batches(tcfg.batch_size, rng):
+        # epoch-keyed shuffle -> step-identical kill/resume (both loaders)
+        if native is not None:
+            batches = native.epoch(tcfg.batch_size, seed=cfg.seed * 100_003 + epoch)
+        else:
+            rng = np.random.default_rng([cfg.seed, epoch])
+            batches = data.batches(tcfg.batch_size, rng)
+        for b in batches:
             yield {
                 "motion": b["motion"],
                 "con": b["con"],

@@ -87,12 +87,14 @@ def build_stage2_cache(
     n = len(records["motion"])
     shards = []
     for s in range(0, n, SHARD_WINDOWS):
-        shard_path = out_dir / f"shard_{s // SHARD_WINDOWS:05d}.npz"
-        np.savez_compressed(
-            shard_path,
-            **{f: np.stack(records[f][s : s + SHARD_WINDOWS]) for f in FIELDS},
-        )
-        shards.append(shard_path.name)
+        # one directory of per-field .npy per shard: genuinely memory-mapped
+        # reads (npz members cannot mmap), the columnar analog of the
+        # reference's LMDB values
+        shard_dir = out_dir / f"shard_{s // SHARD_WINDOWS:05d}"
+        shard_dir.mkdir(exist_ok=True)
+        for f in FIELDS:
+            np.save(shard_dir / f"{f}.npy", np.stack(records[f][s : s + SHARD_WINDOWS]))
+        shards.append(shard_dir.name)
     manifest_path.write_text(
         json.dumps({"num_windows": n, "shards": shards, "fields": list(FIELDS)}, indent=1)
     )
@@ -103,15 +105,25 @@ def build_stage2_cache(
 
 class WindowCache:
     """Memory-mapped read side of the stage-2 cache (the reference's
-    ``dataload`` Dataset, dm/dataload.py:250-271)."""
+    ``dataload`` Dataset, dm/dataload.py:250-271).
+
+    Shards are directories of per-field .npy opened with mmap_mode="r";
+    legacy compressed-npz shards from older caches still load (decompressed
+    in memory, not mapped)."""
 
     def __init__(self, cache_dir):
         self.dir = Path(cache_dir)
         manifest = json.loads((self.dir / "manifest.json").read_text())
         self.num_windows = manifest["num_windows"]
-        self._shards = [np.load(self.dir / s) for s in manifest["shards"]]
+        self._shards = [self._open(s) for s in manifest["shards"]]
         self._lens = [s["actor_id"].shape[0] for s in self._shards]
         self._starts = np.cumsum([0] + self._lens)
+
+    def _open(self, name: str):
+        p = self.dir / name
+        if p.is_dir():
+            return {f: np.load(p / f"{f}.npy", mmap_mode="r") for f in FIELDS}
+        return np.load(p)  # legacy .npz shard
 
     def __len__(self):
         return self.num_windows
@@ -159,10 +171,14 @@ def merge_caches(cache_dirs, out_dir) -> Path:
         d = Path(d)
         manifest = json.loads((d / "manifest.json").read_text())
         for s in manifest["shards"]:
-            name = f"shard_{len(shards):05d}.npz"
-            src, dst = d / s, out_dir / name
+            src = d / s
+            name = f"shard_{len(shards):05d}" + ("" if src.is_dir() else ".npz")
+            dst = out_dir / name
             if src.resolve() != dst.resolve():
-                shutil.copyfile(src, dst)
+                if src.is_dir():
+                    shutil.copytree(src, dst, dirs_exist_ok=True)
+                else:
+                    shutil.copyfile(src, dst)
             shards.append(name)
         total += manifest["num_windows"]
     (out_dir / "manifest.json").write_text(

@@ -148,17 +148,23 @@ class NativeWindowLoader:
             pass
 
 
-def cache_to_abin(cache_dir, out_path) -> Path:
-    """Convert a sharded npz WindowCache into one ABIN file."""
+def cache_to_abin(cache_dir, out_path, fields: Optional[Sequence[str]] = None) -> Path:
+    """Convert a sharded WindowCache into one ABIN file.
+
+    ``fields`` selects a subset (the gesture train loop drops the 640 KB
+    raw-audio column - it only needs motion + conditioning + labels).
+    """
     from amuse_tpu.data.cache import FIELDS, WindowCache
 
+    fields = list(fields) if fields else list(FIELDS)
     wc = WindowCache(cache_dir)
-    records = {f: [] for f in FIELDS}
+    records = {f: [] for f in fields}
     for i in range(len(wc)):
         item = wc[i]
-        for f in FIELDS:
+        for f in fields:
             records[f].append(item[f])
-    stacked = {f: np.stack(records[f]) for f in FIELDS}
+    stacked = {f: np.stack(records[f]) for f in fields}
     for k in ("actor_id", "emo_label"):
-        stacked[k] = stacked[k].astype(np.int32)
+        if k in stacked:
+            stacked[k] = stacked[k].astype(np.int32)
     return write_abin(out_path, stacked)

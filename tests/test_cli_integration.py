@@ -56,6 +56,26 @@ def make_cfg(beat_tree, workdir):
 
 
 @pytest.mark.integration
+def test_train_with_native_loader(beat_tree, tmp_path):
+    """gesture.native_loader=True routes batches through the C++ ABIN
+    prefetch loader (built on demand); one epoch must train with finite
+    losses and create the derived train.abin next to the cache."""
+    import dataclasses
+
+    from amuse_tpu.native import loader as nl
+
+    if not nl.is_available():
+        pytest.skip("g++ unavailable")
+    cfg = make_cfg(beat_tree, tmp_path)
+    cfg = dataclasses.replace(
+        cfg, gesture=dataclasses.replace(cfg.gesture, epochs=1, native_loader=True)
+    )
+    cli.task_prepare_data(cfg)
+    cli.task_train_gesture(cfg)
+    assert (tmp_path / "cache" / "train.abin").exists()
+
+
+@pytest.mark.integration
 def test_resume_is_step_identical(beat_tree, tmp_path):
     """A run killed after epoch 1 and resumed (full TrainState: params +
     optimizer moments + step) produces the SAME epoch-2 losses as an
