@@ -39,14 +39,43 @@ def _wav_mfcc_legacy():
     return AutoEncoder3x
 
 
+def _camn():
+    from amuse_tpu.models.legacy_family import CaMNPoseGenerator
+
+    return CaMNPoseGenerator
+
+
+def _faceformer():
+    from amuse_tpu.models.legacy_family import FaceformerDecoder
+
+    return FaceformerDecoder
+
+
+def _text_encoder():
+    from amuse_tpu.models.legacy_family import TextEncoder
+
+    return TextEncoder
+
+
+def _discriminator():
+    from amuse_tpu.models.legacy_family import ConvDiscriminator
+
+    return ConvDiscriminator
+
+
 REGISTRY: dict[str, Callable] = {
     # flagship tags (reference: models/__init__.py allmodels)
     "wav_dtw_mfcc": _ast,            # stage-1 AST disentangler
     "motionprior": _motionprior,     # stage-2 VAE
     "latent_diffusion": _denoiser,   # stage-2 denoiser
-    # legacy families
+    # legacy families (the "diffusion" tag's members, unreachable from the
+    # reference CLI but part of its model zoo - bvh_fac_models.py et al.)
     "diffusion": _raw_diffusion,     # raw-pose MDM-style baseline
     "wav_mfcc": _wav_mfcc_legacy,    # pre-AST conv disentangler
+    "camn_lstm": _camn,              # CaMN fusion LSTM generator
+    "faceformer": _faceformer,       # autoregressive facial decoder
+    "txt_gpt2": _text_encoder,       # frozen GPT-2 text conditioning
+    "discriminator": _discriminator, # conv discriminator (empty upstream)
 }
 
 
