@@ -55,13 +55,21 @@ class ASTConfig:
     feature_dim: int = 256
     label_dim: int = 0  # 8 emo / 30 sty / 0 con (AST_EVP.py:53-61)
     # Pallas fused attention (amuse_tpu/ops/attention.py): forward-only -
-    # enable on frozen/inference paths (GesturePipeline does); training uses
-    # the XLA path whose backward fuses well at these sizes.
+    # for frozen/inference paths (GesturePipeline sets it).
     fused_attention: bool = False
+    # Differentiable fused attention (ops/attention.py::mha_train): Pallas
+    # forward AND backward (custom VJP), so the (S, S) score matrix never
+    # round-trips HBM in either direction. On non-TPU backends it falls
+    # back to the XLA reference, so tests/CPU meshes are unaffected.
+    # MEASURED on v5e (stage-1 step, batch-1 quad): XLA+remat 202 ms ->
+    # fused+no-remat 157 ms (docs/PARITY.md).
+    flash_attention: bool = True
     # rematerialize ViT blocks in backward. MEASURED on v5e (stage-1 step,
-    # batch 1): remat 216 ms vs no-remat 226 ms - recompute is cheaper than
-    # the activation HBM traffic here, and it saves memory; keep on.
-    remat: bool = True
+    # batch 1): with XLA attention remat wins (216 vs 226 ms); with the
+    # fused kernel NO-remat wins (168 vs 182 ms) because the custom VJP
+    # already recomputes the softmax in VMEM - a second remat replay of the
+    # forward kernel is pure waste. Default tracks the fused path.
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -117,10 +125,14 @@ class ViTBlock(nn.Module):
             return t.reshape(t.shape[:-1] + (cfg.num_heads, hd))
 
         q, k, v = split(q), split(k), split(v)
-        if cfg.fused_attention:
+        if cfg.fused_attention or cfg.flash_attention:
             from amuse_tpu.ops.attention import mha as fused_mha
+            from amuse_tpu.ops.attention import mha_train
 
-            o = fused_mha(
+            # explicit fused_attention (inference paths) wins: it skips the
+            # custom-VJP machinery the frozen forward never needs
+            attn_fn = fused_mha if cfg.fused_attention else mha_train
+            o = attn_fn(
                 jnp.moveaxis(q, 2, 1), jnp.moveaxis(k, 2, 1), jnp.moveaxis(v, 2, 1)
             )  # (B, H, S, hd)
             o = jnp.moveaxis(o, 1, 2).reshape(x.shape)

@@ -1,11 +1,16 @@
 """Benchmark: the north-star metric - 10 s WAV -> SMPL-X motion, one chip.
 
-Runs the full fused inference program (Kaldi fbank -> 3x AST -> 50-step
+Headline: the full fused inference program (Kaldi fbank -> 3x AST -> 50-step
 scan-DDIM -> VAE decode -> 6D->axis-angle) at flagship model sizes with
-random weights (math/FLOPs identical to trained weights) and reports
-wall-clock per 10 s window. BASELINE.md target: < 1 s / window / chip; the
-reference has no published number (SURVEY §6), so vs_baseline is measured
-against that 1 s budget (>1 means faster than target).
+random weights (math/FLOPs identical to trained weights), wall-clock per
+10 s window. BASELINE.md target: < 1 s / window / chip; the reference has no
+published number (SURVEY §6), so vs_baseline is measured against that 1 s
+budget (>1 means faster than target).
+
+The ``extra`` dict captures the training-side numbers that previously lived
+only in docs/PARITY.md: the LPDM (stage-2) train step at flagship batch 32
+including its 50-step DDIM monitor, the stage-1 AST swap step per quad, and
+raw denoiser sampling throughput. Set AMUSE_BENCH_FAST=1 to skip extras.
 
 Prints exactly one JSON line.
 """
@@ -13,13 +18,25 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 
-def main():
+def _timed(run, sync, iters):
+    """Median-free simple mean: queue ``iters`` programs, sync once."""
+    r = run(0)
+    sync(r)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        r = run(i)
+    sync(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def headline():
     import jax
-    import jax.numpy as jnp
     import numpy as np
+    import jax.numpy as jnp
 
     from amuse_tpu.infer.pipeline import GesturePipeline, init_random_params
 
@@ -31,34 +48,97 @@ def main():
     chunks = jnp.asarray(
         rng.normal(scale=0.05, size=(n_windows, 160000)).astype(np.float32)
     )
-    key = jax.random.key(0)
 
     # compile + force a REAL device sync: through the remote-TPU tunnel,
     # block_until_ready returns at dispatch time, so wall-clock must be
     # bounded by a device->host transfer of the result.
-    out = pipe.wav_to_motion(key, chunks)
-    np.asarray(out[0])
-
-    # timed: the device executes the queued programs serially, so forcing
-    # only the final output bounds all iterations (one tunnel RTT amortised)
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = pipe.wav_to_motion(jax.random.key(i), chunks)
-    np.asarray(out[0])
-    dt = (time.perf_counter() - t0) / iters / n_windows
-
-    target = 1.0  # seconds per 10 s window (BASELINE.md north star)
-    print(
-        json.dumps(
-            {
-                "metric": "wav_to_smplx_latency_10s_window",
-                "value": round(dt * 1000.0, 3),
-                "unit": "ms",
-                "vs_baseline": round(target / dt, 3),
-            }
-        )
+    dt = _timed(
+        lambda i: pipe.wav_to_motion(jax.random.key(i), chunks),
+        lambda out: np.asarray(out[0]),
+        iters=10,
     )
+    return dt / n_windows
+
+
+def extra_metrics() -> dict:
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    out = {}
+
+    # ---- LPDM (stage-2) train step, batch 32, with the 50-step DDIM monitor
+    try:
+        from benchmarks.train_steps import bench as lpdm_bench
+
+        dt = lpdm_bench(batch_size=32, monitor=True, vtex=False, iters=5)
+        out["lpdm_train_step_ms_b32"] = round(dt * 1000, 2)
+        out["lpdm_windows_per_sec"] = round(32 / dt, 1)
+    except Exception as e:  # noqa: BLE001 - never lose the headline
+        out["lpdm_train_step_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---- stage-1 AST swap train step (per quad)
+    try:
+        from benchmarks.stage1_step import bench_variant
+
+        dt = bench_variant(b=1, iters=5)  # model defaults: fused attn, no remat
+        out["stage1_step_ms_per_quad"] = round(dt * 1000, 2)
+    except Exception as e:  # noqa: BLE001
+        out["stage1_step_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---- raw denoiser sampling throughput (the steps/sec/chip metric)
+    try:
+        from amuse_tpu.diffusion.sampler import ddim_sample
+        from amuse_tpu.diffusion.schedulers import make_schedule
+        from amuse_tpu.models.denoiser import Denoiser, DenoiserConfig
+
+        cfg = DenoiserConfig()
+        model = Denoiser(cfg)
+        b = 32
+        cond = jnp.zeros((b, cfg.cond_dim))
+        params = model.init(
+            jax.random.key(0),
+            jnp.zeros((b, cfg.latent_tokens, cfg.latent_dim)),
+            jnp.zeros((b,), jnp.int32),
+            cond, cond, cond,
+        )["params"]
+        schedule = make_schedule()
+
+        @jax.jit
+        def sample(key):
+            def denoise(latents, t):
+                tt = jnp.full((b,), t, jnp.int32)
+                return model.apply({"params": params}, latents, tt, cond, cond, cond)
+
+            return ddim_sample(
+                schedule, denoise, key, (b, cfg.latent_tokens, cfg.latent_dim)
+            )
+
+        dt = _timed(
+            lambda i: sample(jax.random.key(i)),
+            lambda r: np.asarray(r[0, 0, 0]),
+            iters=10,
+        )
+        out["ddim50_sample_ms_b32"] = round(dt * 1000, 2)
+        out["denoiser_steps_per_sec_chip"] = round(50 * b / dt)
+    except Exception as e:  # noqa: BLE001
+        out["denoiser_steps_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    return out
+
+
+def main():
+    dt = headline()
+    target = 1.0  # seconds per 10 s window (BASELINE.md north star)
+    record = {
+        "metric": "wav_to_smplx_latency_10s_window",
+        "value": round(dt * 1000.0, 3),
+        "unit": "ms",
+        "vs_baseline": round(target / dt, 3),
+    }
+    if os.environ.get("AMUSE_BENCH_FAST") != "1":
+        record["extra"] = extra_metrics()
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,86 @@
+"""LPDM (stage-2) train-step benchmark on the real chip.
+
+Flagship configuration: batch 32 windows x 300 frames x 168 feats with the
+full 50-step DDIM monitor pass. Reference point: the upstream run needed an
+A100-40G/V100-32G for this step (reference README.md:72-75).
+
+The SMPL-X vertex-displacement monitor is opt-in (--vtex): at full body
+scale (10475 vertices, random template - FLOPs identical to the released
+model) it adds a (B*300, 10475, 3) LBS forward per step, which dominates
+everything else; the CLI also disables it when no body npz is present
+(amuse_tpu/cli/main.py:253-256).
+
+Usage: python benchmarks/train_steps.py [--no-monitor] [--vtex] [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amuse_tpu.core import smplx as smplx_mod
+from amuse_tpu.train.gesture import GestureTrainConfig, init_state, make_train_step
+
+
+def make_batch(rng: np.random.Generator, b: int) -> dict:
+    return {
+        "motion": jnp.asarray(rng.normal(scale=0.1, size=(b, 300, 168)).astype(np.float32)),
+        "con": jnp.asarray(rng.normal(size=(b, 256)).astype(np.float32)),
+        "emo": jnp.asarray(rng.normal(size=(b, 256)).astype(np.float32)),
+        "sty": jnp.asarray(rng.normal(size=(b, 256)).astype(np.float32)),
+        "betas": jnp.asarray(rng.normal(scale=0.5, size=(b, 300)).astype(np.float32)),
+    }
+
+
+def bench(batch_size: int, monitor: bool, vtex: bool, iters: int) -> float:
+    cfg = GestureTrainConfig(batch_size=batch_size, vtex_displacement=vtex)
+    model = (
+        smplx_mod.make_test_model(num_vertices=10475, num_joints=55, num_betas=300)
+        if vtex
+        else None
+    )
+    state = init_state(jax.random.key(0), cfg=cfg)
+    step = make_train_step(cfg=cfg, smplx_model=model, with_monitor=monitor)
+    batch = make_batch(np.random.default_rng(0), batch_size)
+
+    state, logs = step(state, batch, jax.random.key(1))
+    np.asarray(logs["total"])  # force a device->host sync through the tunnel
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, logs = step(state, batch, jax.random.key(i))
+    np.asarray(logs["total"])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--no-monitor", action="store_true")
+    p.add_argument("--vtex", action="store_true")
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+
+    dt = bench(args.batch, not args.no_monitor, args.vtex, args.iters)
+    print(
+        json.dumps(
+            {
+                "bench": "lpdm_train_step",
+                "batch_windows": args.batch,
+                "monitor": not args.no_monitor,
+                "vtex": args.vtex,
+                "step_ms": round(dt * 1000, 2),
+                "windows_per_sec": round(args.batch / dt, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

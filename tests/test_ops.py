@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from amuse_tpu.ops.attention import mha_pallas, mha_reference
+from amuse_tpu.ops.attention import mha_fused_train, mha_pallas, mha_reference
 
 
 class TestFusedAttention:
@@ -41,3 +41,50 @@ class TestFusedAttention:
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
         )
+
+
+class TestFusedAttentionVJP:
+    """The training kernel (custom forward AND backward Pallas passes)."""
+
+    def _qkv(self, shape, seed=0, dtype=jnp.float32):
+        rng = jax.random.key(seed)
+        return tuple(
+            jax.random.normal(jax.random.fold_in(rng, i), shape, dtype)
+            for i in range(3)
+        )
+
+    def test_forward_matches_reference(self):
+        q, k, v = self._qkv((2, 3, 70, 16))  # unaligned seq -> padding path
+        out = mha_fused_train(q, k, v, interpret=True)
+        ref = mha_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_grads_match_reference(self):
+        q, k, v = self._qkv((2, 2, 70, 16), seed=1)
+
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(jnp.sin(fn(q, k, v)))
+
+        got = jax.grad(
+            loss(lambda q, k, v: mha_fused_train(q, k, v, interpret=True)),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        want = jax.grad(loss(mha_reference), argnums=(0, 1, 2))(q, k, v)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
+
+    def test_grads_aligned_multiblock(self):
+        # two q-blocks (block_q=128 forced): exercises the dK/dV
+        # accumulation across sequential grid steps
+        q, k, v = self._qkv((1, 1, 256, 32), seed=2)
+
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(fn(q, k, v) ** 2)
+
+        got = jax.grad(
+            loss(lambda q, k, v: mha_fused_train(q, k, v, interpret=True, block_q=128)),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        want = jax.grad(loss(mha_reference), argnums=(0, 1, 2))(q, k, v)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5)
