@@ -63,6 +63,12 @@ def _discriminator():
     return ConvDiscriminator
 
 
+def _actor_ae():
+    from amuse_tpu.models.actor import ActorAE
+
+    return ActorAE
+
+
 REGISTRY: dict[str, Callable] = {
     # flagship tags (reference: models/__init__.py allmodels)
     "wav_dtw_mfcc": _ast,            # stage-1 AST disentangler
@@ -76,6 +82,8 @@ REGISTRY: dict[str, Callable] = {
     "faceformer": _faceformer,       # autoregressive facial decoder
     "txt_gpt2": _text_encoder,       # frozen GPT-2 text conditioning
     "discriminator": _discriminator, # conv discriminator (empty upstream)
+    "actor_ae": _actor_ae,           # ACTOR-style motion AE (exported but
+                                     # unused upstream, Actor_transformers.py)
 }
 
 

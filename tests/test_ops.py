@@ -73,6 +73,34 @@ class TestFusedAttentionVJP:
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
 
+    def test_stays_sharded_on_data_parallel_mesh(self):
+        """custom_partitioning keeps the kernel batch-sharded under a mesh:
+        no all-gather is inserted and gradients match the XLA reference."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+        sh = NamedSharding(mesh, P("data"))
+        q, k, v = self._qkv((8, 2, 70, 16), seed=3)
+        q, k, v = (jax.device_put(x, sh) for x in (q, k, v))
+
+        @jax.jit
+        def g(q, k, v):
+            return jax.grad(
+                lambda q: jnp.sum(
+                    mha_fused_train(q, k, v, interpret=True).astype(jnp.float32)
+                )
+            )(q)
+
+        with mesh:
+            got = g(q, k, v)
+            hlo = g.lower(q, k, v).compile().as_text()
+        assert "all-gather" not in hlo, "kernel was gathered/replicated by GSPMD"
+        assert got.sharding.spec == P("data"), got.sharding
+        want = jax.grad(
+            lambda q: jnp.sum(mha_reference(q, k, v)).astype(jnp.float32)
+        )(q)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
     def test_grads_aligned_multiblock(self):
         # two q-blocks (block_q=128 forced): exercises the dK/dV
         # accumulation across sequential grid steps
