@@ -22,6 +22,32 @@ def tiny_batch(b=2):
 
 
 class TestAudioTrainStep:
+    def test_data_parallel_mesh_matches_single_device(self):
+        """The stage-1 step (replacing nn.DataParallel, trainer.py:203-206)
+        sharded over the 8-device mesh == single-device, like the gesture
+        step's test in test_train_steps.py."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from amuse_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        state = ta.init_state(jax.random.key(0), CFG, jnp.float32, AST_TINY)
+        step, _ = ta.make_train_step(CFG, jnp.float32, AST_TINY)
+        batch = tiny_batch(b=8)
+
+        _, logs_single = step(state, batch, jax.random.key(3))
+
+        data_s = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        batch_sh = jax.tree.map(lambda x: jax.device_put(x, data_s), batch)
+        state_sh = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+        with mesh:
+            _, logs_shard = step(state_sh, batch_sh, jax.random.key(3))
+        np.testing.assert_allclose(
+            float(logs_single["total"]), float(logs_shard["total"]), rtol=1e-4
+        )
+
     def test_step_runs_and_updates(self):
         state = ta.init_state(jax.random.key(0), CFG, jnp.float32, AST_TINY)
         step, set_lr = ta.make_train_step(CFG, jnp.float32, AST_TINY)
