@@ -74,6 +74,11 @@ class MultiHeadAttention(nn.Module):
             return x.reshape(x.shape[:-1] + (h, head_dim))
 
         q, k, v = split(q), split(k), split(v)
+        # NOTE: no fused-kernel path here by measurement - at the VAE shape
+        # (B 32, H 4, S 302, hd 64) the Pallas kernel LOSES to XLA's einsum
+        # attention (52.6 vs 47.6 ms LPDM step: 302->384 pad waste dominates).
+        # The kernel pays off from ~512 tokens; the AST (S 1214) opts in via
+        # ASTConfig.flash_attention instead.
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
             jnp.asarray(head_dim, self.dtype)
         )

@@ -60,15 +60,23 @@ def headline():
     return dt / n_windows
 
 
-def extra_metrics() -> dict:
+def extra_metrics(deadline: float) -> dict:
+    """Secondary training/throughput metrics, each guarded: a failure or an
+    elapsed-time overrun must never cost the headline line (remote-TPU
+    compiles are slow; the driver may enforce its own wall-clock cap)."""
     import jax
     import numpy as np
     import jax.numpy as jnp
 
     out = {}
 
+    def over_budget() -> bool:
+        return time.monotonic() > deadline
+
     # ---- LPDM (stage-2) train step, batch 32, with the 50-step DDIM monitor
     try:
+        if over_budget():
+            raise TimeoutError("bench time budget exhausted")
         from benchmarks.train_steps import bench as lpdm_bench
 
         dt = lpdm_bench(batch_size=32, monitor=True, vtex=False, iters=5)
@@ -79,6 +87,8 @@ def extra_metrics() -> dict:
 
     # ---- stage-1 AST swap train step (per quad)
     try:
+        if over_budget():
+            raise TimeoutError("bench time budget exhausted")
         from benchmarks.stage1_step import bench_variant
 
         dt = bench_variant(b=1, iters=5)  # model defaults: fused attn, no remat
@@ -88,6 +98,8 @@ def extra_metrics() -> dict:
 
     # ---- raw denoiser sampling throughput (the steps/sec/chip metric)
     try:
+        if over_budget():
+            raise TimeoutError("bench time budget exhausted")
         from amuse_tpu.diffusion.sampler import ddim_sample
         from amuse_tpu.diffusion.schedulers import make_schedule
         from amuse_tpu.models.denoiser import Denoiser, DenoiserConfig
@@ -128,6 +140,7 @@ def extra_metrics() -> dict:
 
 
 def main():
+    t0 = time.monotonic()
     dt = headline()
     target = 1.0  # seconds per 10 s window (BASELINE.md north star)
     record = {
@@ -137,7 +150,10 @@ def main():
         "vs_baseline": round(target / dt, 3),
     }
     if os.environ.get("AMUSE_BENCH_FAST") != "1":
-        record["extra"] = extra_metrics()
+        # leave generous room per extra; each checks the deadline before its
+        # compile so a slow tunnel degrades to fewer extras, never to no line
+        budget = float(os.environ.get("AMUSE_BENCH_BUDGET_S", "900"))
+        record["extra"] = extra_metrics(deadline=t0 + budget)
     print(json.dumps(record))
 
 

@@ -37,15 +37,23 @@ def make_batch(rng: np.random.Generator, b: int) -> dict:
     }
 
 
-def bench(batch_size: int, monitor: bool, vtex: bool, iters: int) -> float:
+def bench(
+    batch_size: int, monitor: bool, vtex: bool, iters: int, bf16: bool = False
+) -> float:
+    from amuse_tpu.models.denoiser import DenoiserConfig
+    from amuse_tpu.models.vae import PriorConfig
+
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    prior_cfg = PriorConfig(dtype=dtype)
+    den_cfg = DenoiserConfig(dtype=dtype)
     cfg = GestureTrainConfig(batch_size=batch_size, vtex_displacement=vtex)
     model = (
         smplx_mod.make_test_model(num_vertices=10475, num_joints=55, num_betas=300)
         if vtex
         else None
     )
-    state = init_state(jax.random.key(0), cfg=cfg)
-    step = make_train_step(cfg=cfg, smplx_model=model, with_monitor=monitor)
+    state = init_state(jax.random.key(0), prior_cfg, den_cfg, cfg)
+    step = make_train_step(prior_cfg, den_cfg, cfg, smplx_model=model, with_monitor=monitor)
     batch = make_batch(np.random.default_rng(0), batch_size)
 
     state, logs = step(state, batch, jax.random.key(1))
@@ -63,10 +71,11 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--no-monitor", action="store_true")
     p.add_argument("--vtex", action="store_true")
+    p.add_argument("--bf16", action="store_true")
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args()
 
-    dt = bench(args.batch, not args.no_monitor, args.vtex, args.iters)
+    dt = bench(args.batch, not args.no_monitor, args.vtex, args.iters, args.bf16)
     print(
         json.dumps(
             {
@@ -74,6 +83,7 @@ def main():
                 "batch_windows": args.batch,
                 "monitor": not args.no_monitor,
                 "vtex": args.vtex,
+                "dtype": "bfloat16" if args.bf16 else "float32",
                 "step_ms": round(dt * 1000, 2),
                 "windows_per_sec": round(args.batch / dt, 1),
             }
