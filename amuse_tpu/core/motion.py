@@ -47,8 +47,12 @@ def feats3d_split(feats: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def zero_jaw(poses: jax.Array) -> jax.Array:
-    """Zero the jaw joint before export (reference: visualizer.py:196)."""
-    return poses.at[..., JAW_JOINT, :].set(0.0)
+    """Zero the jaw joint before export (reference: visualizer.py:196).
+
+    Accepts jax OR numpy input: export call sites hold host-side numpy
+    (infer/editing results are materialised before npz writing).
+    """
+    return jnp.asarray(poses).at[..., JAW_JOINT, :].set(0.0)
 
 
 def window_motion(motion: jax.Array, frames_per_window: int = WINDOW_FRAMES) -> jax.Array:

@@ -141,3 +141,26 @@ def test_prepare_train_infer(beat_tree, tmp_path):
     assert d["trans"].shape == (300, 3)
     # the actor name parsed from the BEAT-style stem drives gender/betas
     assert str(d["gender"]) == "male"  # 2_scott_0_9_9 -> scott
+
+
+@pytest.mark.integration
+def test_edit_gesture_emotion_control(beat_tree, tmp_path, monkeypatch):
+    """task_edit_gesture end-to-end: emotion_control over the synthetic tree
+    (only the neutral take exists -> one source item, 8 emotion variants)."""
+    import dataclasses
+
+    cfg = make_cfg(beat_tree, tmp_path)
+    cli.task_prepare_data(cfg)
+    cfg = dataclasses.replace(
+        cfg, test=dataclasses.replace(cfg.test, emotion_control=True, actors=("scott",))
+    )
+    monkeypatch.chdir(tmp_path)  # keep the demo-path viz_dump probe local
+    cli.task_edit_gesture(cfg)
+    outs = sorted((tmp_path / "runs").glob("*/emotion_control/*/*/seq_*/*.npz"))
+    assert outs, "no emotion_control npz exported"
+    d = np.load(outs[0])
+    assert d["poses"].shape == (300, 55, 3)
+    # the tree carries one (neutral) take, so only the take's own generation
+    # exists; emotion cross-wiring across takes is covered by test_editing.py
+    variants = {p.parent.parent.name for p in outs}
+    assert variants == {"self"}, variants
