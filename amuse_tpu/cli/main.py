@@ -525,9 +525,12 @@ def task_bvh2smplx(cfg):
         out_npz = out_root / f"{stem}.npz"
         if out_npz.exists():
             continue  # restartable, like every reference preprocessing step
-        n_joints = sum(1 for j in parse_bvh(bvh_path).joints if not j.is_end_site)
+        parsed = parse_bvh(bvh_path)  # parse once; reused by the converter
+        n_joints = sum(1 for j in parsed.joints if not j.is_end_site)
         if n_joints >= 55:
-            convert_retargeted_bvh_to_npz(bvh_path, out_npz, subject=subject)
+            convert_retargeted_bvh_to_npz(
+                bvh_path, out_npz, subject=subject, parsed=parsed
+            )
             done += 1
         elif blender and cfg.data.tpose_smplx_bvh:
             cmd = [

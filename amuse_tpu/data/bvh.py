@@ -187,6 +187,12 @@ def retargeted_bvh_to_smplx(bvh: BvhData) -> tuple[np.ndarray, np.ndarray, float
     two agree on Blender's ZYX exports, and ours is also correct for any
     other order). Reordering before or after the per-joint Euler->axis-angle
     conversion is equivalent; we reorder after.
+
+    Deliberate quirk parity: the returned fps is ``ceil(1/frame_time)``
+    exactly like the reference (retarget_smpl2bvh2beatnpzWbetas.py:2198
+    ``int(np.ceil(1/frametime))``) - a truncated 30 fps frame time
+    ("0.033333") therefore yields mocap_frame_rate 31 in BOTH
+    implementations, keeping the written npz bit-compatible.
     """
     poses_aa, trans_cm, names = bvh_to_axis_angle(bvh)
     if poses_aa.shape[1] < BEAT55_BVH_TO_SMPLX_ORDER.max() + 1:
@@ -201,13 +207,16 @@ def retargeted_bvh_to_smplx(bvh: BvhData) -> tuple[np.ndarray, np.ndarray, float
     return poses.astype(np.float64), trans, float(np.ceil(bvh.fps))
 
 
-def convert_retargeted_bvh_to_npz(bvh_path, out_npz, subject: str = "") -> Path:
+def convert_retargeted_bvh_to_npz(
+    bvh_path, out_npz, subject: str = "", parsed: "BvhData | None" = None
+) -> Path:
     """Numpy leg of bvh2smplx_: parse + reorder + convert + write the
     SMPL-X npz with the actor's gender/betas (reference npz layout,
-    retarget_smpl2bvh2beatnpzWbetas.py:2224-2233)."""
+    retarget_smpl2bvh2beatnpzWbetas.py:2224-2233). Pass ``parsed`` to reuse
+    an already-parsed file (BEAT captures are multi-MB text)."""
     from amuse_tpu.data.actors import subject_to_gender_beta
 
-    data = parse_bvh(bvh_path)
+    data = parsed if parsed is not None else parse_bvh(bvh_path)
     poses, trans, fps = retargeted_bvh_to_smplx(data)
     gender, betas = subject_to_gender_beta(subject)
     out_npz = Path(out_npz)

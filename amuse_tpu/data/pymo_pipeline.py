@@ -64,13 +64,19 @@ def options_for_version(version: str, tgt_fps: int = 30) -> PymoOptions:
     (bvh_utils.py:1683-1732). v4/v5 (pos_rot_deltas_v1 variants) are mapped
     onto the same delta transform - upstream marks both as rejected
     ("sliding alot"), v0/v2 are the used ones."""
-    if "_v1_" in version:
+
+    def has(tag: str) -> bool:
+        # match "_vN" at a segment boundary OR end of string, so both
+        # "pymo_dB_v1_fing" and the suffix-less "pymo_dB_v1" resolve
+        return f"{tag}_" in version or version.endswith(tag)
+
+    if has("_v1"):
         return PymoOptions(tgt_fps=tgt_fps, root_transform="none")
-    if "_v0_" in version:
+    if has("_v0"):
         return PymoOptions(
             tgt_fps=tgt_fps, position_smoothing=5, rotation_smoothing=10
         )
-    if "_v3_" in version or "_v4_" in version or "_v5_" in version:
+    if has("_v3") or has("_v4") or has("_v5"):
         return PymoOptions(tgt_fps=tgt_fps, keep_root_trans=True)
     return PymoOptions(tgt_fps=tgt_fps)  # v2: deltas, no smoothing (Used)
 
@@ -204,7 +210,9 @@ class PymoPipeline:
         if self.opts.root_transform == "pos_rot_deltas":
             pos_s = _smooth(pos, self.opts.position_smoothing)
             yaw, residual = _yaw_decompose(mats)
-            yaw = np.unwrap(_smooth(yaw[:, None], self.opts.rotation_smoothing)[:, 0])
+            # unwrap BEFORE smoothing: averaging wrapped angles across the
+            # +-pi branch cut (e.g. 3.1 and -3.1) yields garbage near 0
+            yaw = _smooth(np.unwrap(yaw)[:, None], self.opts.rotation_smoothing)[:, 0]
             dyaw = np.diff(yaw, prepend=yaw[:1])
             dpos = np.diff(pos_s[:, [0, 2]], axis=0, prepend=pos_s[:1, [0, 2]])
             # express ground deltas in the PREVIOUS frame's yaw-local frame

@@ -348,7 +348,14 @@ class FaceformerDecoder(nn.Module):
         style = nn.Embed(self.num_speakers, self.latent_dim, name="obj_vector")(speaker_ids)
         if emo_ids is not None:
             style = style + nn.Embed(self.num_emotions, self.latent_dim, name="emo_vector")(emo_ids)
-        h = nn.Dense(self.latent_dim, name="vertice_map")(face) + style[:, None, :]
+        # teacher forcing feeds the RIGHT-SHIFTED targets (zero start token,
+        # bvh_fac_models.py:447-449 ``cat((start_token, face[:, :-1]), 1)``):
+        # position t must see only frames < t, else the causal diagonal leaks
+        # the very frame being predicted and training collapses to identity.
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(face[:, :1]), face[:, :-1]], axis=1
+        )
+        h = nn.Dense(self.latent_dim, name="vertice_map")(shifted) + style[:, None, :]
         h = h + periodic_positional_encoding(t, self.latent_dim, self.period)
 
         bias = biased_causal_mask(t, self.period)  # (T, T) additive

@@ -80,8 +80,10 @@ def mha_pallas(
 ) -> jax.Array:
     """Fused attention; S is padded internally to a q-block multiple."""
     b, h, s, d = q.shape
-    s_pad = _round_up(s, BLOCK_Q)
-    bq = block_q or _pick_block_q(s_pad)
+    bq = block_q or _pick_block_q(_round_up(s, BLOCK_Q))
+    # pad to a bq multiple: an explicit bq need not divide round_up(s, 128),
+    # and a truncating grid would leave trailing query rows unwritten
+    s_pad = _round_up(s, bq)
     if s_pad != s:
         pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
@@ -344,8 +346,8 @@ def mha_fused_train(q, k, v, interpret: bool = False, block_q: int | None = None
     in both passes, so p = 0 there and dk/dv stay 0.
     """
     b, h, s, d = q.shape
-    s_pad = _round_up(s, BLOCK_Q)
-    bq = block_q or _pick_block_q(s_pad)
+    bq = block_q or _pick_block_q(_round_up(s, BLOCK_Q))
+    s_pad = _round_up(s, bq)  # an explicit bq must still tile the grid fully
     if s_pad != s:
         pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))

@@ -157,8 +157,19 @@ def render_windows(
     """
     if not have_binary("blender"):
         return []
+
+    def window_index(p: Path) -> int:
+        """seq index from .../seq_{i}/... - lexicographic sort would order
+        seq_10 before seq_2 and mux the wrong 10 s audio slice."""
+        for part in reversed(p.parts):
+            if part.startswith("seq_") and part[4:].isdigit():
+                return int(part[4:])
+        return 0
+
     videos = []
-    for i, npz in enumerate(sorted(Path(p) for p in npz_paths)):
+    paths = sorted((Path(p) for p in npz_paths), key=lambda p: (window_index(p), p))
+    for npz in paths:
+        i = window_index(npz)
         raw = npz.with_suffix(".mp4")
         if not render_with_blender(npz, raw, render_script=render_script, fps=fps):
             return videos

@@ -130,6 +130,32 @@ class TestFaceformer:
         # vertice_map_r is zero-initialised (bvh_fac_models.py:242-243)
         np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-7)
 
+    def test_teacher_forcing_is_strictly_causal(self):
+        """Position t must NOT see face[t] (the reference right-shifts the
+        targets with a zero start token, bvh_fac_models.py:447-449): output
+        at t depends only on frames < t, so leaking the predicted frame
+        into its own prediction is impossible."""
+        m = lf.FaceformerDecoder(n_face_feats=10, latent_dim=16, num_heads=2,
+                                 ff_size=32, num_layers=1)
+        rng = jax.random.key(0)
+        face = jax.random.normal(jax.random.fold_in(rng, 1), (1, 8, 10))
+        mem = jax.random.normal(jax.random.fold_in(rng, 2), (1, 8, 4))
+        spk = jnp.zeros((1,), jnp.int32)
+        variables = m.init(jax.random.fold_in(rng, 3), face, mem, spk)
+        # un-zero the readout so leakage would be visible
+        params = jax.tree.map(lambda x: x, variables["params"])
+        params["vertice_map_r"]["kernel"] = jax.random.normal(
+            jax.random.fold_in(rng, 4), params["vertice_map_r"]["kernel"].shape
+        )
+        base = m.apply({"params": params}, face, mem, spk)
+        # perturb frame 3: outputs at t <= 3 unchanged, some t > 3 changes
+        face2 = face.at[:, 3].add(10.0)
+        pert = m.apply({"params": params}, face2, mem, spk)
+        np.testing.assert_allclose(
+            np.asarray(pert[:, :4]), np.asarray(base[:, :4]), atol=1e-5
+        )
+        assert float(jnp.max(jnp.abs(pert[:, 4:] - base[:, 4:]))) > 1e-3
+
 
 class TestDiscriminator:
     def test_logit_shape_and_grad(self):

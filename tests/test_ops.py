@@ -73,6 +73,16 @@ class TestFusedAttentionVJP:
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
 
+    def test_explicit_block_q_that_does_not_divide_128_padding(self):
+        """block_q > round_up(s, 128) used to truncate the grid and leave
+        trailing query rows unwritten; padding must follow block_q."""
+        q, k, v = self._qkv((1, 1, 200, 16), seed=4)
+        out = mha_fused_train(q, k, v, interpret=True, block_q=128)
+        big = mha_fused_train(q, k, v, interpret=True, block_q=384)
+        ref = mha_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(big), np.asarray(ref), atol=2e-5)
+
     def test_stays_sharded_on_data_parallel_mesh(self):
         """custom_partitioning keeps the kernel batch-sharded under a mesh:
         no all-gather is inserted and gradients match the XLA reference."""

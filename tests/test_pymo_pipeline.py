@@ -45,6 +45,13 @@ class TestVersions:
         assert v2.root_transform == "pos_rot_deltas" and v2.position_smoothing == 0
         assert options_for_version("pymo_dB_v3_fing").keep_root_trans
 
+    def test_suffixless_tags_resolve_identically(self):
+        """'pymo_dB_v1' (no _fing) must not silently fall through to v2."""
+        for tag in ("v0", "v1", "v2", "v3", "v4", "v5"):
+            assert options_for_version(f"pymo_dB_{tag}") == options_for_version(
+                f"pymo_dB_{tag}_fing"
+            ), tag
+
 
 class TestPipeline:
     def test_downsample_stride(self):
@@ -93,6 +100,19 @@ class TestPipeline:
         back = pipe.inverse(pipe.fit_transform(bvh))
         np.testing.assert_allclose(back.frames[:, 0], bvh.frames[:, 0], atol=1e-5)
         np.testing.assert_allclose(back.frames[:, 2], bvh.frames[:, 2], atol=1e-5)
+
+    def test_yaw_smoothing_across_branch_cut(self):
+        """Yaw hovering around +-pi (facing away from +Z): smoothing must
+        average the UNWRAPPED angle - wrapped averaging of 3.1 and -3.1
+        collapses toward 0 and makes dyaw spike by ~2 rad/frame."""
+        bvh = _make_bvh(fps=30.0)
+        # Yrotation oscillating tightly around 180 degrees
+        bvh.frames[:, 5] = 180.0 + 2.0 * np.sin(np.arange(16))
+        feats = PymoPipeline(
+            PymoOptions(tgt_fps=30, rotation_smoothing=3)
+        ).fit_transform(bvh)
+        dyaw = feats[:, 3]
+        assert np.max(np.abs(dyaw)) < 0.2, dyaw  # no 2-rad spikes
 
     def test_smoothing_reduces_jitter(self):
         bvh = _make_bvh(fps=30.0, seed=1)

@@ -79,6 +79,31 @@ class TestRenderOrchestration:
         assert vx.concat_grid(videos, tmp_path / "grid.mp4", cols=2)
         assert "xstack=inputs=2:layout=0_0|w0_0" in log.read_text()
 
+    def test_render_windows_numeric_ordering(self, tmp_path, monkeypatch):
+        """11 windows: seq_10's audio offset must be 100 s, not the 20 s a
+        lexicographic sort (seq_0, seq_1, seq_10, seq_2, ...) would give."""
+        monkeypatch.setattr(vx, "have_binary", lambda name: True)
+        monkeypatch.setattr(
+            vx, "render_with_blender", lambda npz, out, **kw: True
+        )
+        offsets = {}
+
+        def fake_mux(video, wav, out, offset=0.0, duration=10.0):
+            offsets[Path(video).parts[-2]] = offset
+            return True
+
+        monkeypatch.setattr(vx, "mux_audio", fake_mux)
+        paths = [
+            vx.write_smplx_npz(
+                tmp_path / f"seq_{i}" / f"x_seq{i}.npz",
+                np.zeros((4, 55, 3)), np.zeros((4, 3)), subject="scott",
+            )
+            for i in range(11)
+        ]
+        vx.render_windows(paths, wav_path=tmp_path / "a.wav")
+        assert offsets["seq_10"] == 100.0
+        assert offsets["seq_2"] == 20.0
+
 
 class TestShippedPresets:
     TASKS = ("train_audio", "train_gesture", "prepare_data",
