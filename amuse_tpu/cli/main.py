@@ -56,6 +56,7 @@ def _make_pipeline(cfg):
     return GesturePipeline(
         params, prior_cfg, den_cfg, ast_cfg, dtype,
         num_inference_steps=cfg.gesture.num_inference_steps,
+        frame_based_feats=cfg.audio.frame_based_feats,
     )
 
 

@@ -66,10 +66,15 @@ def load_model(path, num_betas: int = NUM_BODY_BETAS, num_expr: int = 10) -> Smp
     d = np.load(path, allow_pickle=True)
     shapedirs = np.asarray(d["shapedirs"], np.float32)
     total = shapedirs.shape[-1]
-    n_shape = min(num_betas, total - num_expr) if total > num_betas else total
-    dirs = np.concatenate(
-        [shapedirs[..., :n_shape], shapedirs[..., total - num_expr :]], axis=-1
-    ) if total >= n_shape + num_expr else shapedirs
+    if total > NUM_BODY_BETAS:
+        # SMPL-X layout: dims [0, 300) are shape, [300, 400) are expression;
+        # smplx.create uses shapedirs[:, :, 300:300+num_expr] - slicing the
+        # LAST num_expr would pick expression basis 90-99 instead of 0-9
+        n_shape = min(num_betas, NUM_BODY_BETAS)
+        expr = shapedirs[..., NUM_BODY_BETAS : NUM_BODY_BETAS + num_expr]
+        dirs = np.concatenate([shapedirs[..., :n_shape], expr], axis=-1)
+    else:
+        dirs = shapedirs[..., : min(num_betas, total)]
     posedirs = np.asarray(d["posedirs"], np.float32)
     if posedirs.ndim == 3:  # (V, 3, P) -> (P, V*3)
         posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T
@@ -195,6 +200,10 @@ def forward(
 
 
 def forward_batch(model, poses, betas, transl, expression=None, return_vertices=True):
-    """Batched frames: poses (N, 165), betas (N, B), transl (N, 3)."""
+    """Batched frames: poses (N, 165), betas (N, B), transl (N, 3),
+    expression None | (E,) shared | (N, E) per-frame."""
+    if expression is not None and expression.ndim == 2:
+        fn = lambda p, b, t, e: forward(model, p, b, t, e, return_vertices)  # noqa: E731
+        return jax.vmap(fn)(poses, betas, transl, expression)
     fn = lambda p, b, t: forward(model, p, b, t, expression, return_vertices)  # noqa: E731
     return jax.vmap(fn)(poses, betas, transl)

@@ -134,9 +134,15 @@ def p_sample_loop(
 
 
 def respaced_timesteps(num_timesteps: int, sections: int) -> np.ndarray:
-    """Evenly respaced subset (mdm_respace.space_timesteps 'uniform')."""
-    stride = num_timesteps / sections
-    return np.asarray([int(round(i * stride)) for i in range(sections)], np.int64)
+    """Evenly respaced subset (mdm_respace.space_timesteps, one 'uniform'
+    section): fractional stride (size-1)/(count-1) accumulated and rounded,
+    so the FINAL original timestep (T-1) is always included - sampling must
+    start at the t whose marginal matches the N(0, 1) init latents
+    (mdm_respace.py:41-58)."""
+    if sections <= 1:
+        return np.zeros(max(sections, 0), np.int64)
+    frac = (num_timesteps - 1) / (sections - 1)
+    return np.asarray([round(i * frac) for i in range(sections)], np.int64)
 
 
 def ddim_sample_loop(

@@ -127,6 +127,16 @@ def style_transfer(
     reference_quirk=True reproduces the crosswise emo<->sty assignment the
     reference ships with; False performs the evident straight swap.
     """
+    if len(a1_takes) != len(a2_takes):
+        import warnings
+
+        n_pairs = min(len(a1_takes), len(a2_takes))
+        warnings.warn(
+            f"style_transfer: actors have {len(a1_takes)} vs {len(a2_takes)} "
+            f"takes; only the first {n_pairs} of each are paired - the "
+            "remaining takes produce no output",
+            stacklevel=2,
+        )
     out: dict[str, dict] = {}
     for tk, partner in list(zip(a1_takes, a2_takes)) + list(zip(a2_takes, a1_takes)):
         n = min(len(tk.con), len(partner.con))

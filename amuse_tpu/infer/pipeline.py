@@ -55,6 +55,11 @@ class GesturePipeline:
         ast_cfg: ASTConfig = ASTConfig(),
         dtype=jnp.bfloat16,
         num_inference_steps: int = 50,
+        frame_based_feats: bool = True,  # MUST match the stage-1 training
+        # knob (cfg.audio.frame_based_feats): the feature head is trained on
+        # either mean-pooled patch tokens (True) or the cls/dist average
+        # (False) - feeding it the other distribution silently degrades
+        # every downstream generation.
     ):
         import dataclasses
 
@@ -105,7 +110,9 @@ class GesturePipeline:
                 sub = ast_tree
             stacked = stacked_backbone(sub)
             feats = jax.vmap(
-                lambda p: feat_encoder.apply({"params": p}, fb, True, True)["feature"],
+                lambda p: feat_encoder.apply(
+                    {"params": p}, fb, frame_based_feats, True
+                )["feature"],
                 in_axes=0,
             )(stacked)  # (3, N, 256) in {con, emo, sty} order
             return {"con": feats[0], "emo": feats[1], "sty": feats[2]}

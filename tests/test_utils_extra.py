@@ -12,10 +12,34 @@ class TestMFCC:
 
         wave = jnp.asarray(np.random.default_rng(0).normal(size=16000), jnp.float32)
         out = mfcc(wave)
-        assert out.shape == (98, 13)
+        # torchaudio framing: center=True -> N // hop + 1 = 16000//128 + 1
+        assert out.shape == (126, 13)
         d = _dct_matrix(13, 128)
         # orthonormal rows: D^T D = I over the kept coefficients
         np.testing.assert_allclose(d.T @ d, np.eye(13), atol=1e-5)
+
+    def test_mel_filterbank_properties(self):
+        from amuse_tpu.audio.mfcc import _mel_filterbank
+
+        fbk = _mel_filterbank(1025, 128, 16000)
+        assert fbk.shape == (1025, 128)
+        assert fbk.min() >= 0.0 and fbk.max() <= 1.0
+        # every triangle has support, peaks are ordered in frequency
+        assert (fbk.sum(axis=0) > 0).all()
+        peaks = fbk.argmax(axis=0)
+        assert (np.diff(peaks) > 0).all()
+
+    def test_db_floor_is_80_below_peak(self):
+        from amuse_tpu.audio.mfcc import TOP_DB, _dct_matrix, mfcc
+
+        # a loud tone: silence elsewhere must clamp at peak - 80 dB, so
+        # reconstructed log-mel energies span at most TOP_DB
+        t = np.arange(32000) / 16000.0
+        wave = jnp.asarray(np.sin(2 * np.pi * 440.0 * t), jnp.float32)
+        out = np.asarray(mfcc(wave, n_mfcc=128))
+        d = _dct_matrix(128, 128)
+        db = out @ np.linalg.inv(d)  # invert the (square) ortho DCT
+        assert db.max() - db.min() <= TOP_DB + 1e-3
 
     def test_dtw_identity_alignment(self):
         from amuse_tpu.audio.mfcc import dtw_cost, dtw_path
@@ -169,6 +193,21 @@ class TestGaussianDiffusion:
             gd, lambda x, t: jnp.zeros_like(x), jax.random.key(1), (3, 5), 10
         )
         np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-5)
+
+    def test_respaced_timesteps_match_openai_uniform(self):
+        """space_timesteps 'uniform' semantics (mdm_respace.py:41-58):
+        frac stride (size-1)/(count-1), so T-1 is ALWAYS included - the
+        first denoiser call must see the t matching the N(0,1) init."""
+        from amuse_tpu.diffusion import gaussian as G
+
+        ts = G.respaced_timesteps(1000, 50)
+        assert ts[0] == 0 and ts[-1] == 999 and len(ts) == 50
+        assert np.all(np.diff(ts) > 0)
+        np.testing.assert_array_equal(
+            G.respaced_timesteps(300, 10),
+            [0, 33, 66, 100, 133, 166, 199, 233, 266, 299],
+        )
+        np.testing.assert_array_equal(G.respaced_timesteps(100, 1), [0])
 
     def test_loss_aware_resampler_prefers_lossy_timesteps(self):
         from amuse_tpu.diffusion import gaussian as G
