@@ -144,8 +144,15 @@ def _merge(cfg: Any, overrides: dict) -> Any:
         cur = getattr(cfg, f.name)
         if dataclasses.is_dataclass(cur) and isinstance(v, dict):
             updates[f.name] = _merge(cur, v)
+        elif isinstance(cur, tuple):
+            # a bare string override of a tuple field means ONE element (or
+            # a comma-separated list) - tuple('wayne') would silently become
+            # ('w','a','y','n','e') and e.g. test.actors lookups find nothing
+            if isinstance(v, str):
+                v = [s for s in v.split(",") if s]
+            updates[f.name] = tuple(v)
         else:
-            updates[f.name] = tuple(v) if isinstance(cur, tuple) else v
+            updates[f.name] = v
     return dataclasses.replace(cfg, **updates)
 
 

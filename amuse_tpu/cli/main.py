@@ -91,6 +91,12 @@ def task_prepare_data(cfg):
         print(f"[prepare_data] WARNING: nothing under {cfg.data.data_root} - "
               "check data.data_root/data.mosh_root; not writing empty datasets")
         return
+    if not subset:
+        # a poisoned 0-window manifest would short-circuit every future
+        # build (the cache is skip-if-built); don't write one
+        print(f"[prepare_data] WARNING: takes found but no stage-2 subset - "
+              f"check data.mosh_root ({cfg.data.mosh_root}); cache not built")
+        return
     pipe = _make_pipeline(cfg)
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -155,8 +161,15 @@ def task_train_audio(cfg):
     )
     train, val = stage1.load_dataset(Path(cfg.data.stage1_dataset))
     mesh = make_mesh()
-    step_fn, set_lr = ta.make_train_step(tcfg)
-    state = ta.init_state(key, tcfg)
+    # the SAME ast_cfg/dtype the inference pipeline will rebuild from cfg
+    # (_model_cfgs) - otherwise audio.ast_* / dtype overrides would train a
+    # different architecture than the checkpoint loader expects
+    _, _, ast_cfg = _model_cfgs(cfg)
+    import jax.numpy as jnp
+
+    train_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    step_fn, set_lr = ta.make_train_step(tcfg, train_dtype, ast_cfg)
+    state = ta.init_state(key, tcfg, train_dtype, ast_cfg)
     start_epoch = 0
     if cfg.resume:
         from amuse_tpu.train.checkpoint import restore_train_state
@@ -170,17 +183,18 @@ def task_train_audio(cfg):
     from amuse_tpu.eval.classification import epoch_stats
     from amuse_tpu.models.ast import ASTDisentangler
 
-    import jax.numpy as jnp
-
-    model = ASTDisentangler(dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+    model = ASTDisentangler(dtype=train_dtype, base_cfg=ast_cfg)
 
     def validate(params):
         """Collect emotion/style logits over the val quads -> stats dict
         (the reference's calculate_stats pass, AST_EVP.py:331-430)."""
         if val["emo_id"].shape[0] == 0:
             return {}
+        # a val split smaller than the device-inflated batch must still
+        # produce stats (stage1.batches drops the remainder)
+        vbsz = min(bsz, int(val["emo_id"].shape[0]))
         emo_logits, sty_logits, emo_lab, sty_lab = [], [], [], []
-        for batch in stage1.batches(val, bsz):
+        for batch in stage1.batches(val, vbsz):
             quad = batch["fbanks"].reshape(-1, *batch["fbanks"].shape[2:])
             enc = model.apply(
                 {"params": params}, jnp.asarray(quad), tcfg.frame_based_feats,
@@ -508,7 +522,11 @@ def task_bvh2smplx(cfg):
     """
     import subprocess
 
-    from amuse_tpu.data.bvh import convert_retargeted_bvh_to_npz, parse_bvh
+    from amuse_tpu.data.bvh import (
+        convert_retargeted_bvh_to_npz,
+        looks_like_smplx_rig,
+        parse_bvh,
+    )
     from amuse_tpu.viz.export import have_binary
 
     bvhs = sorted(Path(cfg.data.data_root).glob("*/*.bvh"))
@@ -528,7 +546,10 @@ def task_bvh2smplx(cfg):
             continue  # restartable, like every reference preprocessing step
         parsed = parse_bvh(bvh_path)  # parse once; reused by the converter
         n_joints = sum(1 for j in parsed.joints if not j.is_end_site)
-        if n_joints >= 55:
+        # joint COUNT alone cannot separate an ARP-exported SMPL-X rig from
+        # a raw ~75-joint BEAT capture; require the SMPL-X skeleton names
+        # or the permutation map would silently write garbage npz
+        if n_joints >= 55 and looks_like_smplx_rig(parsed):
             convert_retargeted_bvh_to_npz(
                 bvh_path, out_npz, subject=subject, parsed=parsed
             )
@@ -540,11 +561,14 @@ def task_bvh2smplx(cfg):
                 cfg.data.arp_preset, subject,
             ]
             rc = subprocess.run(cmd, capture_output=True, text=True)
-            if rc.returncode != 0:
+            retargeted = out_npz.with_suffix(out_npz.suffix + ".retargeted.bvh")
+            if rc.returncode != 0 or not retargeted.exists():
                 print(f"[bvh2smplx_] blender failed on {bvh_path.name}: "
                       f"{rc.stderr[-300:]}")
                 skipped += 1
             else:
+                # numpy leg runs HERE: Blender's Python has no jax/repo
+                convert_retargeted_bvh_to_npz(retargeted, out_npz, subject=subject)
                 done += 1
         else:
             reason = (
@@ -580,6 +604,19 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = load_config(args.cfg, parse_cli_overrides(args.set))
+
+    # multi-host bring-up BEFORE any jax use: the cluster layer exports
+    # JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID
+    # (cluster/jobs.py); without this call each host would silently run an
+    # independent single-host training instead of one SPMD job
+    from amuse_tpu.parallel import initialize_distributed
+
+    if initialize_distributed():
+        import jax
+
+        print(f"[distributed] initialized: process {jax.process_index()} "
+              f"of {jax.process_count()}, {jax.device_count()} devices total")
+
     if args.fn == "infer_gesture":
         TASKS[args.fn](cfg, args.wav_dir)
     else:

@@ -178,6 +178,16 @@ ZEROED_SOURCE_JOINTS = (14, 15, 16)  # land at SMPL-X slots 22/23/24
 SMPLX_REST_ROOT_OFFSET_CM = np.array([0.31232587, -35.140743, 1.2036551])
 
 
+def looks_like_smplx_rig(bvh: BvhData) -> bool:
+    """True when the skeleton is an (ARP-exported) SMPL-X rig, not a raw
+    BEAT capture. Raw BEAT skeletons have ~75 Vicon-style joints ("Hips",
+    "Spine", ...) and would pass a joint-COUNT check, but applying the
+    55-slot reorder map to them writes garbage; the SMPL-X armature is
+    rooted at "pelvis" (possibly namespaced by the exporter)."""
+    root = next((j for j in bvh.joints if j.parent == -1), None)
+    return root is not None and "pelvis" in root.name.lower()
+
+
 def retargeted_bvh_to_smplx(bvh: BvhData) -> tuple[np.ndarray, np.ndarray, float]:
     """Retargeted (55+ joint) BVH -> ((T, 55, 3) axis-angle, (T, 3) m, fps).
 

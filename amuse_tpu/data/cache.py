@@ -85,6 +85,12 @@ def build_stage2_cache(
             print(f"[cache] {t.actor_name}/{t.take}: {n_windows} windows")
 
     n = len(records["motion"])
+    if n == 0:
+        # never write a 0-window manifest: the skip-if-built check would
+        # then permanently short-circuit rebuilds after the data is fixed
+        print(f"[cache] no windows produced from {len(takes)} takes; "
+              "manifest NOT written (fix data and re-run)")
+        return out_dir
     shards = []
     for s in range(0, n, SHARD_WINDOWS):
         # one directory of per-field .npy per shard: genuinely memory-mapped

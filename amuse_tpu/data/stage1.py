@@ -62,6 +62,8 @@ def fbanks_per_take(
             continue
         chunks = fb.window_waveform(wave)
         fbanks = fbank_fn(chunks.astype(np.float32))
+        if fbanks.shape[1] < min_frames:  # dm/dm.py:431: short chunks dropped
+            continue
         emo = beat_mod.emotion_label(t.emotion_csv) if t.emotion_csv else 0
         out[(t.actor_id, t.take)] = {"fbanks": fbanks, "emo": emo}
     return out
@@ -71,10 +73,17 @@ def build_quads(
     per_take: dict[tuple[int, str], dict],
     split: str = "train",
 ) -> dict[str, np.ndarray]:
-    """Quad records for one split (dm/dm.py:453-498).
+    """Quad records for one split (dm/dm.py:453-498), index-deduplicated.
 
-    Returns {"fbanks": (N, 4, 1024, 128), "emo_id": (N,), "a1_id": (N,),
-    "a2_id": (N,)} with 0-based actor labels.
+    Each take's fbank chunks are stored ONCE in a bank and quads are
+    (N, 4) index tuples into it - the same take appears in every pairing
+    with every other actor (~2x(A-1) quads per take at BEAT scale), so
+    materialising 4 full (1024, 128) copies per quad would blow the
+    dataset up ~25x (tens of GB at 25 actors). The reference pairs LMDB
+    indices for the same reason. ``batches`` gathers at batch time.
+
+    Returns {"fbank_bank": (M, 1024, 128), "quad_idx": (N, 4) int32,
+    "emo_id": (N,), "a1_id": (N,), "a2_id": (N,)} with 0-based labels.
     """
     val_ids = {a.index for a in ACTORS.values() if a.name in STAGE1_VAL_ACTORS}
     drop_ids = {a.index for a in ACTORS.values() if a.name in STAGE1_DROPPED_ACTORS}
@@ -85,7 +94,19 @@ def build_quads(
     else:
         raise ValueError(split)
 
-    fbanks, emo_id, a1_id, a2_id = [], [], [], []
+    bank_chunks: list[np.ndarray] = []
+    bank_pos: dict[tuple[int, str, int], int] = {}  # (actor, take, chunk) -> row
+
+    def bank_index(actor: int, take: str, chunk: int) -> int:
+        key = (actor, take, chunk)
+        if key not in bank_pos:
+            bank_pos[key] = len(bank_chunks)
+            bank_chunks.append(
+                np.asarray(per_take[(actor, take)]["fbanks"][chunk], np.float32)
+            )
+        return bank_pos[key]
+
+    quad_idx, emo_id, a1_id, a2_id = [], [], [], []
     for a1, a2 in itertools.combinations(ids, 2):
         for emotion in EMOTIONS:
             t1, t2 = PRETRAINED_TAKES[emotion]
@@ -101,19 +122,26 @@ def build_quads(
                 if len(emos) != 1:
                     continue  # reference asserts equality (dm/dm.py:473-485)
                 for c in range(n_chunks):
-                    fbanks.append(np.stack([e["fbanks"][c] for e in entries]))
+                    quad_idx.append(
+                        [
+                            bank_index(a1, ta, c), bank_index(a1, tb, c),
+                            bank_index(a2, ta, c), bank_index(a2, tb, c),
+                        ]
+                    )
                     emo_id.append(entries[0]["emo"])
                     a1_id.append(a1 - 1)
                     a2_id.append(a2 - 1)
-    if not fbanks:
+    if not quad_idx:
         return {
-            "fbanks": np.zeros((0, 4, 1024, 128), np.float32),
+            "fbank_bank": np.zeros((0, 1024, 128), np.float32),
+            "quad_idx": np.zeros((0, 4), np.int32),
             "emo_id": np.zeros(0, np.int32),
             "a1_id": np.zeros(0, np.int32),
             "a2_id": np.zeros(0, np.int32),
         }
     return {
-        "fbanks": np.stack(fbanks).astype(np.float32),
+        "fbank_bank": np.stack(bank_chunks),
+        "quad_idx": np.asarray(quad_idx, np.int32),
         "emo_id": np.asarray(emo_id, np.int32),
         "a1_id": np.asarray(a1_id, np.int32),
         "a2_id": np.asarray(a2_id, np.int32),
@@ -140,10 +168,22 @@ def batches(
     batch_size: int,
     rng: Optional[np.random.Generator] = None,
 ) -> Iterator[dict[str, np.ndarray]]:
+    """Yields {"fbanks": (B, 4, 1024, 128), "emo_id", "a1_id", "a2_id"}.
+
+    Accepts both the index-deduplicated layout (fbank_bank + quad_idx,
+    gathered here at batch time) and the legacy materialised layout
+    (a full "fbanks" array) for old dataset files.
+    """
     n = data["emo_id"].shape[0]
     order = np.arange(n)
     if rng is not None:
         rng.shuffle(order)
+    labels = ("emo_id", "a1_id", "a2_id")
     for i in range(0, n - batch_size + 1, batch_size):
         idx = order[i : i + batch_size]
-        yield {k: v[idx] for k, v in data.items()}
+        out = {k: data[k][idx] for k in labels if k in data}
+        if "fbank_bank" in data:
+            out["fbanks"] = data["fbank_bank"][data["quad_idx"][idx]]
+        else:
+            out["fbanks"] = data["fbanks"][idx]
+        yield out

@@ -41,9 +41,13 @@ def make_fk(smplx_model):
     @jax.jit
     def fk(poses_aa, trans, betas):
         b, t = poses_aa.shape[:2]
-        poses = poses_aa.reshape(b * t, -1)
+        # slice to the rig's joint count (full SMPL-X = 55; unit-test rigs
+        # are smaller) - same guard as train/gesture.py::vertices
+        nj = smplx_model.num_joints
+        poses = poses_aa.reshape(b, t, -1, 3)[:, :, :nj].reshape(b * t, nj * 3)
         transl = trans.reshape(b * t, 3)
-        bet = jnp.repeat(betas, t, axis=0)
+        nb = min(betas.shape[-1], smplx_model.shapedirs.shape[-1])
+        bet = jnp.repeat(betas[:, :nb], t, axis=0)
         out = smplx_mod.forward_batch(
             smplx_model, poses, bet, transl, return_vertices=False
         )
@@ -62,6 +66,10 @@ def evaluate_cache(
 ) -> dict[str, float]:
     """-> {fgd, diversity_real, diversity_gen, ape, ave, beat_align_gen}."""
     n = min(len(cache), max_windows)
+    if n == 0:
+        return {"num_windows": 0.0, "error": "empty window cache"}
+    # smaller caches than one batch must still evaluate (smoke-test trees)
+    batch_size = max(1, min(batch_size, n))
     real_feats, gen_feats = [], []
     ape_vals, ave_vals, beat_scores = [], [], []
     fk = make_fk(smplx_model) if smplx_model is not None else None

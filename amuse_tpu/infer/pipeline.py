@@ -203,18 +203,24 @@ def init_random_params(
     ast_cfg: ASTConfig = ASTConfig(),
     dtype=jnp.bfloat16,
 ) -> PipelineParams:
-    """Random-weight pipeline params (benchmarks, smoke tests, init)."""
+    """Random-weight pipeline params (benchmarks, smoke tests, init).
+
+    Each init is JITted: flax ``init`` is otherwise EAGER, dispatching every
+    primitive individually - through a remote-compile TPU tunnel that turns
+    into hundreds of per-op compile round-trips (observed: >20 min of stall
+    in prepare_data). One jitted program per model keeps it to 3 compiles.
+    """
     k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
     ast = ASTDisentangler(dtype=dtype, base_cfg=ast_cfg)
-    ast_params = ast.init(
+    ast_params = jax.jit(ast.init)(
         k1, jnp.zeros((1, ast_cfg.input_tdim, ast_cfg.input_fdim))
     )["params"]
     prior = MotionPrior(prior_cfg)
-    prior_params = prior.init(
+    prior_params = jax.jit(prior.init)(
         k2, jnp.zeros((1, prior_cfg.window, prior_cfg.nfeats)), jax.random.key(0)
     )["params"]
     denoiser = Denoiser(denoiser_cfg)
-    den_params = denoiser.init(
+    den_params = jax.jit(denoiser.init)(
         k3,
         jnp.zeros((1, denoiser_cfg.latent_tokens, denoiser_cfg.latent_dim)),
         jnp.zeros((1,), jnp.int32),

@@ -72,8 +72,15 @@ struct Dataset {
   std::atomic<bool> stop{false};
 
   ~Dataset() {
-    stop.store(true);
-    cv_produce.notify_all();
+    {
+      // notify must happen with the mutex held (like amuse_start_epoch):
+      // an unlocked notify can fire in the window between the worker's
+      // predicate check and its re-block - a lost wakeup that parks the
+      // worker forever and deadlocks worker.join() here
+      std::lock_guard<std::mutex> lk(mu);
+      stop.store(true);
+      cv_produce.notify_all();
+    }
     if (worker.joinable()) worker.join();
     if (map) munmap(const_cast<uint8_t*>(map), map_size);
     if (fd >= 0) close(fd);
@@ -101,8 +108,9 @@ void assemble(Dataset* ds, Dataset::Slot* slot, uint64_t batch_idx) {
       out += f.byte_size;
     }
   }
-  slot->batch_index = batch_idx;
-  slot->ready = true;
+  // NOTE: ready/batch_index are published by the CALLER under ds->mu;
+  // writing them here (outside the lock) would race the consumer's and
+  // worker predicate's locked reads
 }
 
 void worker_loop(Dataset* ds) {
@@ -119,8 +127,10 @@ void worker_loop(Dataset* ds) {
     uint64_t idx = ds->ring_fill++;
     auto& slot = ds->ring[idx % ds->ring.size()];
     lk.unlock();
-    assemble(ds, &slot, idx);
+    assemble(ds, &slot, idx);  // fills buf only; publication is below
     lk.lock();
+    slot.batch_index = idx;
+    slot.ready = true;  // under the mutex: consumer reads these locked
     ds->cv_consume.notify_all();
   }
 }

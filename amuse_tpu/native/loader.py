@@ -17,8 +17,13 @@ _DTYPE_IDS = {np.dtype(np.float32): 0, np.dtype(np.int32): 1}
 
 
 def build(force: bool = False) -> Optional[Path]:
-    """Compile libamuse_io.so with g++ (one-time, ~1 s)."""
-    if _LIB.exists() and not force:
+    """Compile libamuse_io.so with g++ (one-time, ~1 s; rebuilt when the
+    source is newer than the cached .so)."""
+    if (
+        _LIB.exists()
+        and not force
+        and _LIB.stat().st_mtime >= _SRC.stat().st_mtime
+    ):
         return _LIB
     try:
         subprocess.run(

@@ -78,7 +78,13 @@ def mha_pallas(
     interpret: bool = False,
     block_q: int | None = None,
 ) -> jax.Array:
-    """Fused attention; S is padded internally to a q-block multiple."""
+    """Fused attention; S is padded internally to a q-block multiple.
+
+    Runs through the SAME custom_partitioning-wrapped forward core as the
+    training path (``_cp_fwd``), so a batch-sharded call - e.g. the
+    mesh-sharded frozen-AST pass in prepare_data - keeps the kernel
+    partitioned over (b, h) instead of being all-gathered by GSPMD.
+    """
     b, h, s, d = q.shape
     bq = block_q or _pick_block_q(_round_up(s, BLOCK_Q))
     # pad to a bq multiple: an explicit bq need not divide round_up(s, 128),
@@ -87,34 +93,7 @@ def mha_pallas(
     if s_pad != s:
         pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
-    scale = 1.0 / math.sqrt(d)
-
-    kernel = functools.partial(_attn_kernel, scale=scale, length=s)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, h, s_pad // bq),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, s_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, s_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
-        interpret=interpret,
-    )(q, k, v)
-    return out[:, :, :s, :]
+    return _cp_fwd(s, interpret, bq)(q, k, v)[:, :, :s, :]
 
 
 def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:

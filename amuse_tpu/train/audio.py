@@ -84,23 +84,37 @@ def init_state(
     ast_cfg: ASTConfig = ASTConfig(),
 ) -> AudioTrainState:
     model = ASTDisentangler(dtype=dtype, base_cfg=ast_cfg)
-    params = model.init(
-        rng, jnp.zeros((1, ast_cfg.input_tdim, ast_cfg.input_fdim))
-    )["params"]
+    # init must trace the SAME frame_based_feats branch the train step uses:
+    # each branch creates a different label-head param set, and flax raises
+    # ScopeParamNotFoundError at step time on a mismatch. Jitted: eager
+    # flax init dispatches per-primitive, which is pathological through a
+    # remote-compile tunnel (see infer/pipeline.py::init_random_params).
+    params = jax.jit(
+        lambda r, x: model.init(r, x, cfg.frame_based_feats)
+    )(rng, jnp.zeros((1, ast_cfg.input_tdim, ast_cfg.input_fdim)))["params"]
     opt_state = make_optimizer(cfg).init(params)
     return AudioTrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
 
-def spec_augment(rng: jax.Array, fbank: jax.Array, freq_mask: int, time_mask: int, noise: bool) -> jax.Array:
-    """Train-time augmentation (dm/dataload.py:222-248): one frequency mask,
-    one time mask, uniform noise / 10, random roll up to +-10 frames.
+def spec_augment(
+    rng: jax.Array, fbank: jax.Array, freq_mask: int, time_mask: int, noise: bool
+) -> tuple[jax.Array, jax.Array]:
+    """Train-time augmentation -> ``(target, model_input)``.
+
+    Reference semantics (dm/dataload.py:222-248 + AST_EVP.py:125-126,160):
+    SpecAugment masks + normalisation are applied to the BASE fbank, which
+    is both the recon TARGET and the base of the ``_noisy`` model input;
+    the noisy copy additionally gets uniform noise scaled by a per-sample
+    random amplitude (``torch.rand(shape) * np.random.rand() / 10``) and a
+    roll drawn from randint(-10, 10) - i.e. [-10, 10). With noise on, the
+    model encodes the noisy copy but reconstructs the masked-only fbank.
 
     Static-shaped: masks are realised with iota comparisons, the roll with
     jnp.roll on a traced shift - all jit/vmap safe.
     """
     # independent keys per draw: mask start and width must be uncorrelated
     # (torchaudio draws them independently; sharing a key ties them)
-    kf0, kfw, kt0, ktw, kn, kr = jax.random.split(rng, 6)
+    kf0, kfw, kt0, ktw, kn, ka, kr = jax.random.split(rng, 7)
     t_len, f_len = fbank.shape[-2], fbank.shape[-1]
 
     f0 = jax.random.randint(kf0, (), 0, max(1, f_len - freq_mask))
@@ -113,11 +127,12 @@ def spec_augment(rng: jax.Array, fbank: jax.Array, freq_mask: int, time_mask: in
     t_idx = jnp.arange(t_len)[:, None]
     fbank = jnp.where((t_idx >= t0) & (t_idx < t0 + tw), 0.0, fbank)
 
-    if noise:
-        fbank = fbank + jax.random.uniform(kn, fbank.shape, fbank.dtype) / 10.0
-        shift = jax.random.randint(kr, (), -10, 11)
-        fbank = jnp.roll(fbank, shift, axis=-2)
-    return fbank
+    if not noise:
+        return fbank, fbank
+    amp = jax.random.uniform(ka, (), fbank.dtype)  # np.random.rand() scalar
+    noisy = fbank + jax.random.uniform(kn, fbank.shape, fbank.dtype) * amp / 10.0
+    shift = jax.random.randint(kr, (), -10, 10)  # randint(-10, 10): 10 excl.
+    return fbank, jnp.roll(noisy, shift, axis=-2)
 
 
 def make_train_step(
@@ -142,11 +157,14 @@ def make_train_step(
 
         if cfg.noise_aug or cfg.freq_mask or cfg.time_mask:
             rngs = jax.random.split(rng, 4 * b).reshape(4, b)
-            aug = jax.vmap(jax.vmap(
+            # target = masked fbank; model input = masked + noise + roll
+            # (the reference reconstructs the masked-only fbank from the
+            # noisy copy, AST_EVP.py:125-126,160)
+            target, aug = jax.vmap(jax.vmap(
                 lambda r, x: spec_augment(r, x, cfg.freq_mask, cfg.time_mask, cfg.noise_aug)
             ))(rngs, quad)
         else:
-            aug = quad
+            target = aug = quad
 
         flat = aug.reshape(4 * b, *aug.shape[2:])  # one virtual batch
         enc = model.apply(
@@ -188,7 +206,7 @@ def make_train_step(
         )  # (16, B, 1024, 128)
 
         return L.ast_swap_losses(
-            recons, quad, emo_logits, sty_logits, f_con,
+            recons, target, emo_logits, sty_logits, f_con,
             batch["emo_id"], batch["a1_id"], batch["a2_id"],
         )
 

@@ -55,7 +55,11 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: GestureTrainConfig) -> optax.GradientTransformation:
-    return optax.adamw(cfg.learning_rate)
+    # torch.optim.AdamW(lr=lr_base) with DEFAULT kwargs (trainer.py:184):
+    # torch's default weight_decay is 0.01, optax.adamw's is 1e-4 - pass it
+    # explicitly or regularization is silently 100x weaker than the
+    # reference run. betas/eps defaults agree (0.9, 0.999, 1e-8).
+    return optax.adamw(cfg.learning_rate, weight_decay=0.01)
 
 
 def init_state(
@@ -66,11 +70,13 @@ def init_state(
 ) -> TrainState:
     k1, k2 = jax.random.split(rng)
     prior = MotionPrior(prior_cfg)
-    prior_params = prior.init(
+    # jitted inits: eager flax init is per-primitive dispatch - pathological
+    # through a remote-compile tunnel (infer/pipeline.py::init_random_params)
+    prior_params = jax.jit(prior.init)(
         k1, jnp.zeros((1, prior_cfg.window, prior_cfg.nfeats)), jax.random.key(0)
     )["params"]
     denoiser = Denoiser(denoiser_cfg)
-    den_params = denoiser.init(
+    den_params = jax.jit(denoiser.init)(
         k2,
         jnp.zeros((1, denoiser_cfg.latent_tokens, denoiser_cfg.latent_dim)),
         jnp.zeros((1,), jnp.int32),

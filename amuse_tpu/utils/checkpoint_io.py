@@ -20,15 +20,29 @@ from amuse_tpu.infer.pipeline import PipelineParams
 
 
 def load_pipeline_params(cfg=None) -> Optional[PipelineParams]:
+    """None ONLY when no checkpoint is configured; a configured-but-broken
+    checkpoint raises - silently falling back to random weights would turn
+    a typo'd path into garbage inference with no error."""
     root = os.environ.get("AMUSE_TPU_CKPT", "")
     if not root:
         return None
     root = Path(root)
     if (root / "metadata.json").exists() or any(root.glob("step_*")):
-        return _from_orbax(root)
-    if root.is_dir() and any(root.glob("*.pt")):
-        return _from_torch_dir(root)
-    return None
+        params = _from_orbax(root)
+    elif root.is_dir() and any(root.glob("*.pt")):
+        params = _from_torch_dir(root)
+    else:
+        raise FileNotFoundError(
+            f"AMUSE_TPU_CKPT={root} is neither an orbax run dir "
+            "(metadata.json / step_*) nor a directory of released .pt files"
+        )
+    if params is None:
+        raise ValueError(
+            f"AMUSE_TPU_CKPT={root} was found but could not be assembled "
+            "into pipeline params - an LPDM (prior+denoiser) checkpoint "
+            "also needs AMUSE_TPU_AST_CKPT pointing at the stage-1 run"
+        )
+    return params
 
 
 def _unwrap_params(tree):

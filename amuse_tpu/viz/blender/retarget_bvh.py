@@ -6,11 +6,11 @@ retarget_smpl2bvh2beatnpzWbetas.py):
     blender -b -P retarget_bvh.py -- <beat.bvh> <tpose_smplx.bvh> <out.npz> [preset.json] [subject]
 
 Requires the Auto-Rig-Pro add-on (``bpy.ops.arp.retarget``) with a bone-map
-preset for BEAT -> SMPL-X (supplied as a JSON path). After ARP retargets the
-animation onto the SMPL-X rig, the exported Euler curves are converted to the
-55-joint axis-angle npz layout by amuse_tpu.data.bvh (pure numpy) - the
-Euler->quat->axis-angle math lives in the framework, not in this thin
-Blender shim.
+preset for BEAT -> SMPL-X (supplied as a JSON path). This shim does ONLY the
+bpy work - import, ARP retarget, BVH re-export to ``<out>.retargeted.bvh``.
+The numpy Euler->axis-angle conversion runs back in the CALLING process
+(cli/main.py): Blender's bundled Python has neither the repo on sys.path
+nor jax installed, so importing amuse_tpu here would always fail.
 """
 
 import sys
@@ -41,18 +41,14 @@ def main():
     bpy.ops.arp.auto_scale()
     bpy.ops.arp.retarget()
 
-    # export the retargeted rig back to BVH next to the npz, then convert
+    # export the retargeted rig back to BVH next to the npz; the calling
+    # process converts it to the SMPL-X npz (numpy leg, no bpy required)
     retargeted_bvh = out_npz + ".retargeted.bvh"
     bpy.ops.object.select_all(action="DESELECT")
     target.select_set(True)
     bpy.context.view_layer.objects.active = target
     bpy.ops.export_anim.bvh(filepath=retargeted_bvh, root_transform_only=False)
-
-    # numpy conversion (no bpy needed from here on): 55-joint SMPL-X
-    # reorder + jaw/eye zeroing + root recentring + gender/betas
-    from amuse_tpu.data.bvh import convert_retargeted_bvh_to_npz
-
-    convert_retargeted_bvh_to_npz(retargeted_bvh, out_npz, subject=subject)
+    print(f"[retarget_bvh] exported {retargeted_bvh} (subject={subject})")
 
 
 if __name__ == "__main__":

@@ -80,10 +80,15 @@ def render_with_blender(
     """
     if not have_binary(blender_exe) or render_script is None:
         return False
-    subprocess.run(
+    rc = subprocess.run(
         [blender_exe, "-b", "-P", str(render_script), "--", str(npz_path), str(out_video), str(fps)],
-        check=True,
+        capture_output=True, text=True,
     )
+    if rc.returncode != 0:
+        # rendering is best-effort: a missing addon must not abort the whole
+        # infer/edit run (the npz outputs are the actual product)
+        print(f"[viz] blender render failed on {npz_path}: {rc.stderr[-300:]}")
+        return False
     return True
 
 
@@ -101,11 +106,14 @@ def mux_audio(video_in, audio_in, video_out, offset: float | None = None,
         cut += ["-ss", str(offset)]
     if duration is not None:
         cut += ["-t", str(duration)]
-    subprocess.run(
+    rc = subprocess.run(
         ["ffmpeg", "-y", "-i", str(video_in), *cut, "-i", str(audio_in),
          "-c:v", "copy", "-c:a", "aac", "-shortest", str(video_out)],
-        check=True, capture_output=True,
+        capture_output=True, text=True,
     )
+    if rc.returncode != 0:
+        print(f"[viz] ffmpeg mux failed on {video_in}: {rc.stderr[-300:]}")
+        return False
     return True
 
 
@@ -131,10 +139,13 @@ def concat_grid(videos, out_video, cols: int = 2) -> bool:
     for v in videos:
         inputs += ["-i", str(v)]
     filtergraph = f"xstack=inputs={n}:layout={xstack_layout(n, cols)}"
-    subprocess.run(
+    rc = subprocess.run(
         ["ffmpeg", "-y", *inputs, "-filter_complex", filtergraph, str(out_video)],
-        check=True, capture_output=True,
+        capture_output=True, text=True,
     )
+    if rc.returncode != 0:
+        print(f"[viz] ffmpeg grid failed: {rc.stderr[-300:]}")
+        return False
     return True
 
 

@@ -75,15 +75,19 @@ class TestAudioTrainStep:
 class TestSpecAugment:
     def test_masks_zero_regions_and_preserves_shape(self):
         fb = jnp.ones((64, 32))
-        out = ta.spec_augment(jax.random.key(0), fb, 8, 16, noise=False)
+        target, out = ta.spec_augment(jax.random.key(0), fb, 8, 16, noise=False)
         assert out.shape == fb.shape
+        np.testing.assert_array_equal(np.asarray(target), np.asarray(out))
         # some region must be zeroed with overwhelming probability
         assert float(jnp.sum(out == 0.0)) > 0
 
     def test_noise_mode_changes_values(self):
         fb = jnp.zeros((64, 32))
-        out = ta.spec_augment(jax.random.key(1), fb, 0, 0, noise=True)
+        target, out = ta.spec_augment(jax.random.key(1), fb, 0, 0, noise=True)
         assert float(jnp.abs(out).sum()) > 0  # additive uniform noise
+        # the recon TARGET stays noise-free (reference reconstructs the
+        # masked-only fbank, AST_EVP.py:125-126,160)
+        np.testing.assert_array_equal(np.asarray(target), 0.0)
 
     def test_mask_start_and_width_independent(self):
         """Regression: start and width once shared a PRNG key, correlating
@@ -94,7 +98,7 @@ class TestSpecAugment:
         fmask = 16
         widths = []
         for s in range(300):
-            out = ta.spec_augment(jax.random.key(s), fb, fmask, 0, noise=False)
+            _, out = ta.spec_augment(jax.random.key(s), fb, fmask, 0, noise=False)
             widths.append(int((np.asarray(out)[0] == 0).sum()))
         widths = np.asarray(widths)
         # uniform on {0..16}: mean 8, and full support actually visited
@@ -105,4 +109,5 @@ class TestSpecAugment:
         fb = jnp.asarray(np.random.default_rng(2).normal(size=(64, 32)), jnp.float32)
         a = ta.spec_augment(jax.random.key(3), fb, 8, 16, True)
         b = ta.spec_augment(jax.random.key(3), fb, 8, 16, True)
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -86,7 +86,8 @@ def test_euler_order_zxy_matches_composition():
 def _make_55joint_bvh(tmp_path, n_frames=3, angle_fn=None, root_pos=(10.0, 20.0, 30.0)):
     """Synthesize a retargeted-SMPL-X-style BVH: 55 joints in a chain, root
     with 6 channels (pos + ZXY rot), the rest 3 rotation channels."""
-    lines = ["HIERARCHY", "ROOT j0", "{", "  OFFSET 0 0 0",
+    # root named like the SMPL-X armature: looks_like_smplx_rig keys on it
+    lines = ["HIERARCHY", "ROOT pelvis", "{", "  OFFSET 0 0 0",
              "  CHANNELS 6 Xposition Yposition Zposition Zrotation Xrotation Yrotation"]
     for i in range(1, 55):
         pad = "  " * i

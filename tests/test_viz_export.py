@@ -46,10 +46,14 @@ class TestRenderOrchestration:
         stub = (
             "#!/bin/sh\n"
             f'echo "$0 $@" >> {log}\n'
-            # last argument is the output file; create it (shell builtins
-            # only - PATH holds just the stubs)
-            'for a in "$@"; do out="$a"; done\n'
-            ': > "$out"\n'
+            # create the .mp4 output argument (shell builtins only - PATH
+            # holds just the stubs). NOT simply the last argv: blender's
+            # call ends with the fps ("30.0"), and a stray file of that
+            # name would land in the pytest cwd.
+            'out=""\n'
+            'for a in "$@"; do case "$a" in *.mp4) out="$a";; esac; done\n'
+            '[ -n "$out" ] && : > "$out"\n'
+            "exit 0\n"
         )
         for name in ("blender", "ffmpeg"):
             p = bindir / name
@@ -129,3 +133,13 @@ class TestShippedPresets:
     def test_comment_keys_ignored(self):
         cfg = load_config(None, {"_doc": "hi", "gesture": {"_note": "x", "epochs": 3}})
         assert cfg.gesture.epochs == 3
+
+    def test_string_override_of_tuple_field(self):
+        """--set test.actors=wayne must yield ('wayne',), not
+        ('w','a','y','n','e'); comma lists split."""
+        cfg = load_config(None, {"test": {"actors": "wayne"}})
+        assert cfg.test.actors == ("wayne",)
+        cfg = load_config(None, {"test": {"actors": "wayne,scott"}})
+        assert cfg.test.actors == ("wayne", "scott")
+        cfg = load_config(None, {"test": {"actors": ["wayne", "scott"]}})
+        assert cfg.test.actors == ("wayne", "scott")
