@@ -102,17 +102,31 @@ def task_prepare_data(cfg):
     n_dev = mesh.devices.size
     sharding = batch_sharding(mesh)
 
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    # shard_map (not plain jit-with-shardings): each device runs the frozen
+    # AST on its LOCAL chunk shard - the Pallas attention kernel inside has
+    # no GSPMD partitioning rule, so auto-sharding would all-gather and
+    # replicate it (BASELINE.json's ICI regen target would be lost)
+    sharded_encode = jax.jit(
+        jax.shard_map(
+            pipe.encode_audio_fn,
+            mesh=mesh,
+            in_specs=(P(), P("data")),
+            out_specs=P("data"),
+        )
+    )
+
     def encode_sharded(chunks):
         """Pad the chunk batch to the device count and shard the AST pass
         over the mesh data axis (BASELINE.json's ICI regen target)."""
-        import jax
-
         n = chunks.shape[0]
         pad = (-n) % n_dev
         if pad:
             chunks = np.concatenate([chunks, np.zeros((pad,) + chunks.shape[1:], chunks.dtype)])
         with mesh:
-            out = pipe.encode_audio(jax.device_put(chunks, sharding))
+            out = sharded_encode(pipe.params, jax.device_put(chunks, sharding))
         return {k: np.asarray(v)[:n] for k, v in out.items()}
 
     cache.build_stage2_cache(

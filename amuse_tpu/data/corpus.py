@@ -62,3 +62,35 @@ def encode_dialogue(text: str, dim: int = 768) -> np.ndarray:
 
 def encode_dialogue_batch(texts: list[str], dim: int = 768) -> np.ndarray:
     return np.stack([encode_dialogue(t, dim) for t in texts])
+
+
+# ---------------------------------------------------------------------------
+# BEAT take transcripts (the reference's dm/utils/all_words.py `corpos_text`)
+# ---------------------------------------------------------------------------
+
+_TRANSCRIPTS = None
+
+
+def take_transcript(take: str) -> Optional[str]:
+    """Spoken text of a BEAT take (e.g. "0_9_9") or None if unknown.
+
+    The per-take transcript corpus is BEAT dataset content the reference
+    hardcodes (all_words.py:corpos_text, 21 takes - the 16 pretrained takes
+    plus extras); vendored here as data (beat_transcripts.json) the same way
+    the per-actor MoSh betas are. Feeds the legacy text-conditioned path
+    (txt_models.py GPT-2 encoding via encode_dialogue).
+    """
+    global _TRANSCRIPTS
+    if _TRANSCRIPTS is None:
+        import json
+        from pathlib import Path
+
+        path = Path(__file__).parent / "beat_transcripts.json"
+        _TRANSCRIPTS = {k: " ".join(v) for k, v in json.loads(path.read_text()).items()}
+    return _TRANSCRIPTS.get(take)
+
+
+def encode_take_transcript(take: str, dim: int = 768) -> Optional[np.ndarray]:
+    """take id -> dialogue embedding (GPT-2 or hashed fallback), or None."""
+    text = take_transcript(take)
+    return None if text is None else encode_dialogue(text, dim)

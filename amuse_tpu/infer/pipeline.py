@@ -157,6 +157,11 @@ class GesturePipeline:
             return decode_motion(params, latents)
 
         self._encode_audio = jax.jit(encode_audio)
+        # raw (unjitted) closure for callers that wrap the encode in
+        # shard_map (prepare_data's mesh-sharded frozen-AST pass: the Pallas
+        # attention inside has no GSPMD partitioning rule, but under
+        # shard_map it sees per-device local shapes and needs none)
+        self.encode_audio_fn = encode_audio
         self._generate_latents = jax.jit(generate_latents)
         self._decode_motion = jax.jit(decode_motion)
         self._encode_motion = jax.jit(encode_motion)

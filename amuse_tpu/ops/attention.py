@@ -80,10 +80,12 @@ def mha_pallas(
 ) -> jax.Array:
     """Fused attention; S is padded internally to a q-block multiple.
 
-    Runs through the SAME custom_partitioning-wrapped forward core as the
-    training path (``_cp_fwd``), so a batch-sharded call - e.g. the
-    mesh-sharded frozen-AST pass in prepare_data - keeps the kernel
-    partitioned over (b, h) instead of being all-gathered by GSPMD.
+    NOTE: deliberately NOT custom_partitioning-wrapped: the inference
+    pipeline vmaps this over stacked encoder params, and jax has no
+    batching rule for custom_partitioning (measured crash). Multi-device
+    data-parallel callers (prepare_data's frozen-AST pass) wrap the WHOLE
+    encode in shard_map instead, inside which this kernel sees per-device
+    local shapes and needs no partitioning rule.
     """
     b, h, s, d = q.shape
     bq = block_q or _pick_block_q(_round_up(s, BLOCK_Q))
@@ -93,7 +95,9 @@ def mha_pallas(
     if s_pad != s:
         pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
-    return _cp_fwd(s, interpret, bq)(q, k, v)[:, :, :s, :]
+    return _mha_fwd_padded_raw(q, k, v, length=s, interpret=interpret, block_q=bq)[
+        :, :, :s, :
+    ]
 
 
 def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:

@@ -160,3 +160,25 @@ class TestFullASTImport:
         fbanks, enc = model.apply({"params": got}, spec)
         assert fbanks.shape == (2, 64, 32)
         assert enc["emo"]["feature"].shape == (2, 8)
+
+
+class TestTranscripts:
+    def test_vendored_corpus_covers_pretrained_takes(self):
+        from amuse_tpu.data.actors import PRETRAINED_TAKES
+        from amuse_tpu.data.corpus import take_transcript
+
+        for pair in PRETRAINED_TAKES.values():
+            for take in pair:
+                text = take_transcript(take)
+                assert text and len(text) > 100, take
+
+    def test_unknown_take_is_none(self):
+        from amuse_tpu.data.corpus import take_transcript
+
+        assert take_transcript("9_99_99") is None
+
+    def test_encode_take_transcript(self):
+        from amuse_tpu.data.corpus import encode_take_transcript
+
+        v = encode_take_transcript("0_9_9", dim=32)
+        assert v is not None and v.shape == (32,)

@@ -43,6 +43,21 @@ class TestFusedAttention:
         )
 
 
+class TestInferenceKernelVmap:
+    def test_vmap_over_stacked_encoders_pattern(self):
+        """The inference pipeline vmaps attention over 3 stacked encoder
+        param sets; mha_pallas must stay vmappable (custom_partitioning has
+        NO batching rule - routing it here crashed the pipeline once)."""
+        rng = jax.random.key(7)
+        q, k, v = (
+            jax.random.normal(jax.random.fold_in(rng, i), (3, 1, 2, 70, 16))
+            for i in range(3)
+        )
+        out = jax.vmap(lambda a, b, c: mha_pallas(a, b, c, interpret=True))(q, k, v)
+        ref = jax.vmap(mha_reference)(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 class TestFusedAttentionVJP:
     """The training kernel (custom forward AND backward Pallas passes)."""
 
