@@ -129,9 +129,15 @@ def task_prepare_data(cfg):
             out = sharded_encode(pipe.params, jax.device_put(chunks, sharding))
         return {k: np.asarray(v)[:n] for k, v in out.items()}
 
+    import os
+
+    ast_source = os.environ.get("AMUSE_TPU_CKPT") or "random-weights"
+    if ast_source == "random-weights":
+        print("[prepare_data] WARNING: building AST features with RANDOM "
+              "weights (set AMUSE_TPU_CKPT for real conditioning)")
     cache.build_stage2_cache(
         subset, Path(cfg.data.cache_dir), encode_sharded,
-        window_frames=cfg.data.window_frames,
+        window_frames=cfg.data.window_frames, ast_source=ast_source,
     )
 
     # stage-1 quad dataset
@@ -192,12 +198,21 @@ def task_train_audio(cfg):
     state = replicate(mesh, state)
     ckpt = CheckpointManager(run_dir / "checkpoints") if not cfg.debug else None
     n_dev = mesh.devices.size
-    bsz = max(cfg.audio.batch_size, n_dev)
+    # round UP to a device multiple: P("data") device_put raises when the
+    # leading dim is not divisible by the data-axis size
+    bsz = -(-max(cfg.audio.batch_size, n_dev) // n_dev) * n_dev
 
     from amuse_tpu.eval.classification import epoch_stats
     from amuse_tpu.models.ast import ASTDisentangler
 
     model = ASTDisentangler(dtype=train_dtype, base_cfg=ast_cfg)
+    # jitted: eager flax apply is per-primitive dispatch - pathological
+    # through the remote-compile tunnel (same reason all inits are jitted)
+    encode_jit = jax.jit(
+        lambda p, quad: model.apply(
+            {"params": p}, quad, tcfg.frame_based_feats, True, method="encode"
+        )
+    )
 
     def validate(params):
         """Collect emotion/style logits over the val quads -> stats dict
@@ -210,10 +225,7 @@ def task_train_audio(cfg):
         emo_logits, sty_logits, emo_lab, sty_lab = [], [], [], []
         for batch in stage1.batches(val, vbsz):
             quad = batch["fbanks"].reshape(-1, *batch["fbanks"].shape[2:])
-            enc = model.apply(
-                {"params": params}, jnp.asarray(quad), tcfg.frame_based_feats,
-                True, method="encode",
-            )
+            enc = encode_jit(params, jnp.asarray(quad))
             emo_logits.append(np.asarray(enc["emo"]["logits"]))
             sty_logits.append(np.asarray(enc["sty"]["logits"]))
             # (B, 4, ...) flattens batch-major: labels repeat 4x per sample
@@ -243,7 +255,11 @@ def task_train_audio(cfg):
             rng = np.random.default_rng([cfg.seed, epoch])
             for i, batch in enumerate(stage1.batches(train, bsz, rng)):
                 batch = shard_batch(mesh, batch)
-                state, logs = step_fn(state, batch, jax.random.fold_in(key, epoch * 100_000 + i))
+                # fold epoch and step SEPARATELY: epoch*K+i collides across
+                # epochs once an epoch exceeds K steps, replaying identical
+                # augmentation/noise draws
+                step_key = jax.random.fold_in(jax.random.fold_in(key, epoch), i)
+                state, logs = step_fn(state, batch, step_key)
             metrics = {f"train_{k}": float(v) for k, v in logs.items()}
             metrics.update(validate(state.params))
             logger.log(epoch, metrics)
@@ -270,9 +286,16 @@ def task_train_gesture(cfg):
 
     run_dir, logger, key = _setup(cfg)
     g = cfg.gesture
+    mesh_probe = make_mesh()
+    n_dev = mesh_probe.devices.size
+    # round UP to a device multiple: P("data") device_put raises otherwise
+    bsz = -(-max(g.batch_size, n_dev) // n_dev) * n_dev
+    if bsz != g.batch_size:
+        print(f"[LPDM-T] batch_size {g.batch_size} -> {bsz} "
+              f"(multiple of {n_dev} devices)")
     tcfg = tg.GestureTrainConfig(
         learning_rate=g.learning_rate,
-        batch_size=g.batch_size,
+        batch_size=bsz,
         epochs=g.epochs,
         num_inference_steps=g.num_inference_steps,
         monitor_every=g.monitor_every,
@@ -287,7 +310,7 @@ def task_train_gesture(cfg):
     prior_cfg, den_cfg, _ = _model_cfgs(cfg)
 
     data = WindowCache(Path(cfg.data.cache_dir))
-    mesh = make_mesh()
+    mesh = mesh_probe
     # two step programs: with the DDIM/vertex monitor (every
     # ``monitor_every``-th step) and without (all other steps) - monitors
     # carry no gradient, so throttling only thins the logged metrics.
@@ -315,7 +338,12 @@ def task_train_gesture(cfg):
 
         if native_mod.is_available():
             abin = Path(cfg.data.cache_dir) / "train.abin"
-            if not abin.exists():  # restartable, derived from the cache
+            manifest = Path(cfg.data.cache_dir) / "manifest.json"
+            stale = (
+                abin.exists() and manifest.exists()
+                and abin.stat().st_mtime < manifest.stat().st_mtime
+            )  # a rebuilt/merged cache must invalidate the derived abin
+            if not abin.exists() or stale:
                 native_mod.cache_to_abin(
                     cfg.data.cache_dir, abin,
                     fields=("motion", "actor_id", "con", "emo", "sty"),
@@ -348,7 +376,8 @@ def task_train_gesture(cfg):
             batches = prefetch_to_device(host_batches(epoch), 2, batch_sharding(mesh))
             for i, batch in enumerate(batches):
                 fn = step_mon if i % tcfg.monitor_every == 0 else step_fast
-                state, logs = fn(state, batch, jax.random.fold_in(key, epoch * 100_000 + i))
+                step_key = jax.random.fold_in(jax.random.fold_in(key, epoch), i)
+                state, logs = fn(state, batch, step_key)
             logger.log(epoch, {f"train_{k}": float(v) for k, v in logs.items()})
             print(f"[LPDM-T] epoch {epoch + 1}/{tcfg.epochs} ({time.time() - t0:.1f}s): "
                   + ", ".join(f"{k}={float(v):.6f}" for k, v in logs.items()))
@@ -376,8 +405,13 @@ def task_infer_gesture(cfg, wav_dir: str = "viz_dump/test/speech"):
         # BEAT-style stems carry the actor name (e.g. 2_scott_0_9_9); use it
         # so the exported npz gets the right gender/betas
         subject = next((p for p in wav.stem.split("_") if p in NAME_TO_ACTOR), "")
-        for rep in range(reps):
-            result = pipe.infer_wav(wave, seed=cfg.seed + rep)
+        for wi_rep in range(reps):
+            rep = wi_rep
+            # fold the wav identity into the seed: seed+rep alone gives
+            # every file the same DDIM init latents (eta=0 -> correlated
+            # generations across files)
+            wav_seed = (cfg.seed + rep) * 1_000_003 + (hash(wav.stem) & 0xFFFF)
+            result = pipe.infer_wav(wave, seed=wav_seed)
             rep_dir = run_dir / "gesture" / wav.stem / f"rep{rep}"
             paths = export_windows(rep_dir, result, subject=subject, stem=wav.stem)
             # optional CPU post-process: Blender render + per-window audio

@@ -43,6 +43,7 @@ def build_stage2_cache(
     chunk_samples: int = 160_000,
     reference_quirk_chunking: bool = False,
     progress: bool = True,
+    ast_source: str = "",
 ) -> Path:
     """Build the stage-2 window cache from MoSh takes + frozen AST features.
 
@@ -56,7 +57,19 @@ def build_stage2_cache(
     out_dir.mkdir(parents=True, exist_ok=True)
     manifest_path = out_dir / "manifest.json"
     if manifest_path.exists():
-        return out_dir  # restartable: cache already built (dm/dm.py:94-97)
+        # restartable (dm/dm.py:94-97) - but the cached con/emo/sty features
+        # are a function of the AST weights: a cache built from DIFFERENT
+        # weights (e.g. random, before the checkpoint was configured) must
+        # not be silently reused, or the denoiser trains on garbage
+        # conditioning forever
+        stored = json.loads(manifest_path.read_text()).get("ast_source")
+        if stored is not None and ast_source and stored != ast_source:
+            raise RuntimeError(
+                f"stage-2 cache at {out_dir} was built with AST weights "
+                f"'{stored}' but the current run uses '{ast_source}'; "
+                f"delete {out_dir} to rebuild with the right features"
+            )
+        return out_dir
 
     records = {f: [] for f in FIELDS}
     for t in takes:
@@ -102,7 +115,11 @@ def build_stage2_cache(
             np.save(shard_dir / f"{f}.npy", np.stack(records[f][s : s + SHARD_WINDOWS]))
         shards.append(shard_dir.name)
     manifest_path.write_text(
-        json.dumps({"num_windows": n, "shards": shards, "fields": list(FIELDS)}, indent=1)
+        json.dumps(
+            {"num_windows": n, "shards": shards, "fields": list(FIELDS),
+             "ast_source": ast_source},
+            indent=1,
+        )
     )
     if progress:
         print(f"[cache] wrote {n} windows in {len(shards)} shards -> {out_dir}")

@@ -82,10 +82,16 @@ def evaluate_cache(
         sty = jnp.asarray(np.stack([it["sty"] for it in items]))
 
         m6 = motion_mod.axis_angle_to_feats6d(motion)
-        z_real = pipe.encode_motion(jax.random.key(seed), m6)  # (B, 1, 128)
+        # disjoint PRNG streams per batch AND per role: reusing one key for
+        # encode eps and the DDIM init latents makes them bit-identical
+        # (same shape/dtype), correlating the real and generated feature
+        # sets that FGD compares
+        k_enc = jax.random.fold_in(jax.random.fold_in(jax.random.key(seed), 0), start)
+        k_gen = jax.random.fold_in(jax.random.fold_in(jax.random.key(seed), 1), start)
+        z_real = pipe.encode_motion(k_enc, m6)  # (B, 1, 128)
         real_feats.append(np.asarray(z_real[:, 0]))
 
-        latents = pipe.generate_latents(jax.random.key(seed + start), con, emo, sty)
+        latents = pipe.generate_latents(k_gen, con, emo, sty)
         gen_feats.append(np.asarray(latents[:, 0]))
 
         gen_aa, gen_tr = pipe.decode_motion(latents)

@@ -219,7 +219,7 @@ uint64_t amuse_start_epoch(void* h, uint64_t batch_size, uint64_t seed,
   ds->batch_size = batch_size;
   ds->order.resize(ds->num_records);
   for (uint64_t i = 0; i < ds->num_records; ++i) ds->order[i] = i;
-  if (shuffle) {
+  if (shuffle && ds->num_records > 1) {  // empty: i = 2^64-1 would OOB
     std::mt19937_64 rng(seed);
     for (uint64_t i = ds->num_records - 1; i > 0; --i) {
       std::uniform_int_distribution<uint64_t> dist(0, i);

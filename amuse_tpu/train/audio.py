@@ -117,13 +117,21 @@ def spec_augment(
     kf0, kfw, kt0, ktw, kn, ka, kr = jax.random.split(rng, 7)
     t_len, f_len = fbank.shape[-2], fbank.shape[-1]
 
-    f0 = jax.random.randint(kf0, (), 0, max(1, f_len - freq_mask))
+    # torchaudio draws the start AFTER the width, uniform on
+    # [0, len - width]: drawing it from [0, len - max_width) instead would
+    # systematically under-mask the last max_width rows. jit-safe via a
+    # uniform float scaled by the (traced) width-dependent range.
+    def start_index(key, length, width):
+        u = jax.random.uniform(key, ())
+        return jnp.floor(u * (length - width + 1)).astype(jnp.int32)
+
     fw = jax.random.randint(kfw, (), 0, freq_mask + 1)
+    f0 = start_index(kf0, f_len, fw)
     f_idx = jnp.arange(f_len)
     fbank = jnp.where((f_idx >= f0) & (f_idx < f0 + fw), 0.0, fbank)
 
-    t0 = jax.random.randint(kt0, (), 0, max(1, t_len - time_mask))
     tw = jax.random.randint(ktw, (), 0, time_mask + 1)
+    t0 = start_index(kt0, t_len, tw)
     t_idx = jnp.arange(t_len)[:, None]
     fbank = jnp.where((t_idx >= t0) & (t_idx < t0 + tw), 0.0, fbank)
 

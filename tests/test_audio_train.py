@@ -111,3 +111,17 @@ class TestSpecAugment:
         b = ta.spec_augment(jax.random.key(3), fb, 8, 16, True)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_mask_can_reach_final_columns(self):
+        """torchaudio draws start AFTER width on [0, len - w]; the old
+        [0, len - max_width) draw could never mask the last columns."""
+        fb = jnp.ones((64, 32))
+        fmask = 16
+        reached_end = False
+        for s in range(200):
+            _, out = ta.spec_augment(jax.random.key(s), fb, fmask, 0, noise=False)
+            cols = np.asarray(out)[0] == 0
+            if cols.any() and cols[-1]:
+                reached_end = True
+                break
+        assert reached_end, "mask never touches the final frequency column"

@@ -1,5 +1,6 @@
 """Tests for job templating and the ASHA sweep."""
 
+import re
 import numpy as np
 
 from amuse_tpu.cluster import ASHA, JobSpec, LocalRunner, render_script
@@ -67,3 +68,56 @@ class TestSweep:
         assert len(budgets) >= 2  # at least one promotion happened
         b = best_trial(opt.trials)
         assert b.score <= 0.5
+
+
+class TestDistributedBringup:
+    def test_cli_initializes_from_cluster_env(self, monkeypatch):
+        """The env vars render_script exports must actually drive
+        jax.distributed.initialize when the CLI starts (regression: the
+        helper existed but was never called -> N silent single-host runs)."""
+        import jax
+
+        from amuse_tpu.parallel import initialize_distributed
+
+        calls = {}
+
+        def fake_init(coordinator_address, num_processes, process_id):
+            calls.update(addr=coordinator_address, n=num_processes, pid=process_id)
+
+        monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:8476")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+        monkeypatch.setenv("JAX_PROCESS_ID", "1")
+        assert initialize_distributed() is True
+        assert calls == {"addr": "10.0.0.1:8476", "n": 2, "pid": 1}
+
+    def test_noop_without_env(self, monkeypatch):
+        from amuse_tpu.parallel import initialize_distributed
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert initialize_distributed() is False
+
+    def test_rendered_env_round_trips(self, monkeypatch):
+        """render_script's exports parse back into the exact initialize args."""
+        import jax
+
+        from amuse_tpu.cluster.jobs import JobSpec, render_script
+        from amuse_tpu.parallel import initialize_distributed
+
+        script = render_script(
+            JobSpec(name="j", command="true", num_hosts=2),
+            host_index=1, coordinator="h0:8476",
+        )
+        for line in script.splitlines():
+            m = re.match(r"export (JAX_\w+)=(.+)", line.strip())
+            if m:
+                monkeypatch.setenv(m.group(1), m.group(2).strip("'\""))
+        calls = {}
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda coordinator_address, num_processes, process_id: calls.update(
+                addr=coordinator_address, n=num_processes, pid=process_id
+            ),
+        )
+        assert initialize_distributed() is True
+        assert calls == {"addr": "h0:8476", "n": 2, "pid": 1}

@@ -171,3 +171,29 @@ class TestCheckpointManager:
         restored, meta = mgr.restore(2)
         np.testing.assert_array_equal(np.asarray(restored["w"]), np.ones((3, 3)))
         assert meta["metrics"]["total"] == 3.0
+
+
+class TestCacheProvenance:
+    def test_mismatched_ast_source_raises(self, tmp_path):
+        import json
+
+        import pytest
+
+        from amuse_tpu.data.cache import build_stage2_cache
+
+        (tmp_path / "manifest.json").write_text(
+            json.dumps({"num_windows": 1, "shards": [], "fields": [],
+                        "ast_source": "random-weights"})
+        )
+        with pytest.raises(RuntimeError, match="built with AST weights"):
+            build_stage2_cache([], tmp_path, None, ast_source="/ckpt/run1")
+
+    def test_same_or_unknown_source_skips_quietly(self, tmp_path):
+        import json
+
+        from amuse_tpu.data.cache import build_stage2_cache
+
+        (tmp_path / "manifest.json").write_text(
+            json.dumps({"num_windows": 1, "shards": [], "fields": []})
+        )  # legacy manifest without ast_source: trusted (no key to compare)
+        assert build_stage2_cache([], tmp_path, None, ast_source="x") == tmp_path
