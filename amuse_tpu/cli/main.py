@@ -188,6 +188,16 @@ def task_train_audio(cfg):
     import jax.numpy as jnp
 
     train_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    # no-remat is fastest at the reference batch (1-2 quads/device: 157 ms
+    # vs 182 with remat on v5e) but the stored ViT activations OOM a 16 GB
+    # chip from ~3-4 quads/device - flip remat on automatically there
+    import dataclasses
+
+    quads_per_device = max(1, cfg.audio.batch_size // mesh.devices.size)
+    if quads_per_device >= 3 and not ast_cfg.remat:
+        ast_cfg = dataclasses.replace(ast_cfg, remat=True)
+        print(f"[AST-T] {quads_per_device} quads/device: remat enabled "
+              "(no-remat activations exceed 16 GB HBM from ~3 quads)")
     step_fn, set_lr = ta.make_train_step(tcfg, train_dtype, ast_cfg)
     state = ta.init_state(key, tcfg, train_dtype, ast_cfg)
     start_epoch = 0
