@@ -39,7 +39,7 @@ from typing import Optional
 import numpy as np
 from scipy.spatial.transform import Rotation as _R
 
-from amuse_tpu.data.bvh import BvhData, BvhJoint
+from amuse_tpu.data.bvh import BvhData
 
 _EPS = 1e-9
 
