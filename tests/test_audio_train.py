@@ -36,16 +36,24 @@ class TestAudioTrainStep:
         step, _ = ta.make_train_step(CFG, jnp.float32, AST_TINY)
         batch = tiny_batch(b=8)
 
-        _, logs_single = step(state, batch, jax.random.key(3))
+        # two steps: step-2's loss depends on step-1's UPDATE, so broken
+        # gradient sync under the mesh is visible (step-1's loss alone is a
+        # forward pass of identical params and cannot catch it)
+        st_single, logs_single = step(state, batch, jax.random.key(3))
+        st_single, logs_single2 = step(st_single, batch, jax.random.key(4))
 
         data_s = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
         batch_sh = jax.tree.map(lambda x: jax.device_put(x, data_s), batch)
         state_sh = jax.tree.map(lambda x: jax.device_put(x, repl), state)
         with mesh:
-            _, logs_shard = step(state_sh, batch_sh, jax.random.key(3))
+            st_shard, logs_shard = step(state_sh, batch_sh, jax.random.key(3))
+            st_shard, logs_shard2 = step(st_shard, batch_sh, jax.random.key(4))
         np.testing.assert_allclose(
             float(logs_single["total"]), float(logs_shard["total"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(logs_single2["total"]), float(logs_shard2["total"]), rtol=1e-3
         )
 
     def test_step_runs_and_updates(self):

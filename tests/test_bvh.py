@@ -170,5 +170,8 @@ class TestBvh2Smplx:
         out = tmp_path / "mosh" / "2_scott_0_9_9.npz"
         assert out.exists()
         assert str(np.load(out)["gender"]) == "male"
-        # restartable: second run skips existing outputs
+        # restartable: second run must SKIP the existing output (unchanged
+        # mtime), not silently reconvert/clobber it
+        mtime = out.stat().st_mtime_ns
         cli.task_bvh2smplx(cfg)
+        assert out.stat().st_mtime_ns == mtime

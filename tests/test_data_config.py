@@ -145,8 +145,14 @@ class TestWindowCache:
         assert len(batches) == 2
         assert batches[0]["motion"].shape == (2, 300, 168)
         assert batches[0]["emo_label"].shape == (2,)
-        # restartability: second build call is a no-op
+        # restartability: second build call is a TRUE no-op - same window
+        # count, encoder NOT re-invoked
+        calls_before = fake_encode.calls if hasattr(fake_encode, "calls") else None
         C.build_stage2_cache(takes, tmp_path / "cache", fake_encode, progress=False)
+        wc2 = C.WindowCache(tmp_path / "cache")
+        assert len(wc2) == 4
+        if calls_before is not None:
+            assert fake_encode.calls == calls_before, "cache was re-encoded" 
 
     def test_betas_for_actor_ids(self):
         from amuse_tpu.data.cache import betas_for_actor_ids

@@ -44,7 +44,7 @@ class TestFusedSampler:
         # fused kernel, same initial latents (same key + shape)
         sampler = dk.make_fused_sampler(params, cfg, schedule, steps, interpret=True)
         out = sampler(key, con, emo, sty)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=1e-2)
 
     def test_single_denoiser_step_parity(self, setup):
         # tighter check on one step: A_0 x + B_0 eps with the model's eps
@@ -65,7 +65,7 @@ class TestFusedSampler:
         eps = model.apply({"params": params}, x0, ts, con, emo, sty)
         # num_inference_steps=1 -> step_ratio=1000, prev_t<0 -> acp[0]
         expected = ddim_step(schedule, eps, ts[0], x0, 1)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-2, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-4, rtol=1e-4)
 
     def test_packing_shapes(self, setup):
         _, _, params, _ = setup

@@ -50,6 +50,12 @@ class TestBeatAlignment:
         joints[:, 0, 0] = np.sin(t)
         beats = M.motion_beats_from_joints(joints, fps=30.0)
         assert len(beats) >= 1
+        # the minima must actually sit at the turning points (t = pi/2 and
+        # 3pi/2 of the 2pi sweep -> 1/4 and 3/4 through the 4 s clip)
+        duration = 120 / 30.0
+        expected = np.asarray([duration / 4, 3 * duration / 4])
+        for b in np.asarray(beats):
+            assert np.min(np.abs(expected - b)) < 0.25, (b, beats)
 
     def test_audio_beats_from_clicks(self):
         # impulse train at 1 Hz -> onsets near integer seconds

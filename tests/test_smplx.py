@@ -85,6 +85,32 @@ class TestKinematics:
         )
 
 
+class TestArticulation:
+    def test_middle_joint_rotation_moves_descendants_rigidly(self):
+        """Rotating an interior joint must MOVE its descendants (a forward
+        that drops body-joint rotations would pass every only-asserts-static
+        test) while ancestors stay put and bone lengths are preserved."""
+        m = make()
+        m0 = m._replace(posedirs=jnp.zeros_like(m.posedirs))
+        k = m.num_joints // 2  # interior joint of the chain rig
+        poses = jnp.zeros(m.num_joints * 3).at[3 * k : 3 * k + 3].set(
+            jnp.asarray([0.0, 0.0, 1.2])
+        )
+        out = smplx.forward(m0, poses, jnp.zeros(8), jnp.zeros(3), expression=jnp.zeros(0))
+        joints = np.asarray(out["joints"])
+        rest = np.asarray(m.j_regressor @ m.v_template)
+        # ancestors (and the pivot itself) unmoved
+        np.testing.assert_allclose(joints[: k + 1], rest[: k + 1], atol=1e-5)
+        # at least one descendant genuinely moved
+        assert np.max(np.abs(joints[k + 1 :] - rest[k + 1 :])) > 1e-3
+        # rigid: consecutive bone lengths preserved
+        np.testing.assert_allclose(
+            np.linalg.norm(np.diff(joints, axis=0), axis=1),
+            np.linalg.norm(np.diff(rest, axis=0), axis=1),
+            atol=1e-5,
+        )
+
+
 class TestBatchedAndJitted:
     def test_forward_batch_shapes(self):
         m = make()

@@ -49,12 +49,16 @@ class TestGestureTrainStep:
         batch = tiny_batch()
         p0 = jax.tree.leaves(state.params)[0].copy()
         losses = []
-        for i in range(5):
+        for i in range(30):
             state, logs = step(state, batch, jax.random.key(i))
             losses.append(float(logs["recons_feature"] + logs["inst_loss"]))
         assert not np.allclose(np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p0))
         assert all(np.isfinite(losses))
-        assert int(state.step) == 5
+        # the name says DECREASES: overfitting one fixed batch must drive
+        # the differentiable terms down (mean of last 5 vs first 5 to ride
+        # out per-step dropout/timestep noise)
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+        assert int(state.step) == 30
 
     def test_monitor_pass_produces_gen_metrics(self):
         state = shared_state()
@@ -85,8 +89,12 @@ class TestGestureTrainStep:
         step = shared_step(False)
         batch = tiny_batch(b=8)
 
-        # single-device result
+        # single-device result: TWO steps, so the second loss is a function
+        # of the FIRST update - corrupted gradient aggregation under the
+        # mesh shows up there (a one-step param compare cannot fail: AdamW's
+        # first update is bounded by lr, under any sane tolerance)
         st_single, logs_single = step(state, batch, jax.random.key(3))
+        st_single, logs_single2 = step(st_single, batch, jax.random.key(4))
 
         # sharded result
         data_s = NamedSharding(mesh, P("data"))
@@ -95,8 +103,12 @@ class TestGestureTrainStep:
         state_sh = jax.tree.map(lambda x: jax.device_put(x, repl), state)
         with mesh:
             st_shard, logs_shard = step(state_sh, batch_sh, jax.random.key(3))
+            st_shard, logs_shard2 = step(st_shard, batch_sh, jax.random.key(4))
         np.testing.assert_allclose(
             float(logs_single["total"]), float(logs_shard["total"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(logs_single2["total"]), float(logs_shard2["total"]), rtol=1e-3
         )
         # Adam's first step amplifies f32 reduction-order noise up to O(lr):
         # grad/sqrt(v) is sign-like when moments are fresh, so parameters can
