@@ -19,38 +19,16 @@ from amuse_tpu.utils import torch_import as ti
 rng = np.random.default_rng(0)
 
 
-def lin(prefix, din, dout, sd):
-    sd[f"{prefix}.weight"] = rng.normal(scale=0.05, size=(dout, din)).astype(np.float32)
-    sd[f"{prefix}.bias"] = rng.normal(scale=0.05, size=dout).astype(np.float32)
+import functools
 
+from tests import torch_sd as _sd
 
-def ln(prefix, d, sd):
-    sd[f"{prefix}.weight"] = np.ones(d, np.float32)
-    sd[f"{prefix}.bias"] = np.zeros(d, np.float32)
-
-
-def mha(prefix, d, sd):
-    sd[f"{prefix}.in_proj_weight"] = rng.normal(scale=0.05, size=(3 * d, d)).astype(np.float32)
-    sd[f"{prefix}.in_proj_bias"] = np.zeros(3 * d, np.float32)
-    lin(f"{prefix}.out_proj", d, d, sd)
-
-
-def enc_layer(prefix, d, ff, sd):
-    mha(f"{prefix}.self_attn", d, sd)
-    lin(f"{prefix}.linear1", d, ff, sd)
-    lin(f"{prefix}.linear2", ff, d, sd)
-    ln(f"{prefix}.norm1", d, sd)
-    ln(f"{prefix}.norm2", d, sd)
-
-
-def dec_layer(prefix, d, ff, sd):
-    mha(f"{prefix}.self_attn", d, sd)
-    mha(f"{prefix}.multihead_attn", d, sd)
-    lin(f"{prefix}.linear1", d, ff, sd)
-    lin(f"{prefix}.linear2", ff, d, sd)
-    ln(f"{prefix}.norm1", d, sd)
-    ln(f"{prefix}.norm2", d, sd)
-    ln(f"{prefix}.norm3", d, sd)
+# shared builders (tests/torch_sd.py), bound to this module's rng
+lin = functools.partial(_sd.lin, rng)
+ln = functools.partial(_sd.ln, rng)
+mha = functools.partial(_sd.mha, rng)
+enc_layer = functools.partial(_sd.enc_layer, rng)
+dec_layer = functools.partial(_sd.dec_layer, rng)
 
 
 def skip_stack(prefix, d, ff, layers, sd, decoder=False):

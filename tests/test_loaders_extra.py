@@ -91,27 +91,17 @@ class TestFullASTImport:
         from amuse_tpu.models.ast import ASTConfig, ASTDisentangler
         from amuse_tpu.utils import torch_import as ti
 
+        import functools
+
+        from tests import torch_sd as _sd
+
         rng = np.random.default_rng(2)
-
-        def lin(prefix, din, dout, sd):
-            sd[f"{prefix}.weight"] = rng.normal(scale=0.05, size=(dout, din)).astype(np.float32)
-            sd[f"{prefix}.bias"] = np.zeros(dout, np.float32)
-
-        def ln(prefix, d, sd):
-            sd[f"{prefix}.weight"] = np.ones(d, np.float32)
-            sd[f"{prefix}.bias"] = np.zeros(d, np.float32)
-
-        def mha(prefix, d, sd):
-            sd[f"{prefix}.in_proj_weight"] = rng.normal(scale=0.05, size=(3 * d, d)).astype(np.float32)
-            sd[f"{prefix}.in_proj_bias"] = np.zeros(3 * d, np.float32)
-            lin(f"{prefix}.out_proj", d, d, sd)
-
-        def enc_layer(prefix, d, sd):
-            mha(f"{prefix}.self_attn", d, sd)
-            lin(f"{prefix}.linear1", d, 2048, sd)
-            lin(f"{prefix}.linear2", 2048, d, sd)
-            ln(f"{prefix}.norm1", d, sd)
-            ln(f"{prefix}.norm2", d, sd)
+        lin = functools.partial(_sd.lin, rng)
+        ln = functools.partial(_sd.ln, rng)
+        mha = functools.partial(_sd.mha, rng)
+        enc_layer = functools.partial(
+            lambda r, prefix, d, sd: _sd.enc_layer(r, prefix, d, 2048, sd), rng
+        )
 
         cfg = ASTConfig(input_tdim=64, input_fdim=32, embed_dim=16, depth=1,
                         num_heads=2, feature_dim=8)
