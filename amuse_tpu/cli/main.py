@@ -211,6 +211,19 @@ def task_train_audio(cfg):
     # round UP to a device multiple: P("data") device_put raises when the
     # leading dim is not divisible by the data-axis size
     bsz = -(-max(cfg.audio.batch_size, n_dev) // n_dev) * n_dev
+    n_train = int(train["emo_id"].shape[0])
+    if n_train < bsz:
+        # a dataset smaller than one batch would yield ZERO steps per epoch
+        # and silently checkpoint random weights; clamp to the largest
+        # device multiple, or fail loud if even that is impossible
+        clamped = (n_train // n_dev) * n_dev
+        if clamped == 0:
+            raise RuntimeError(
+                f"stage-1 dataset has {n_train} quads but the {n_dev}-device "
+                f"mesh needs at least {n_dev} per batch - nothing would train"
+            )
+        print(f"[AST-T] batch {bsz} > dataset {n_train}; clamped to {clamped}")
+        bsz = clamped
 
     from amuse_tpu.eval.classification import epoch_stats
     from amuse_tpu.models.ast import ASTDisentangler
@@ -284,6 +297,8 @@ def task_train_audio(cfg):
 def task_train_gesture(cfg):
     """Stage-2 LPDM joint training (reference: trainer.train_prior_latdiff_
     forward_backward_v2)."""
+    import dataclasses
+
     import jax
 
     import numpy as np
@@ -321,6 +336,16 @@ def task_train_gesture(cfg):
 
     data = WindowCache(Path(cfg.data.cache_dir))
     mesh = mesh_probe
+    if len(data) < bsz:
+        clamped = (len(data) // n_dev) * n_dev
+        if clamped == 0:
+            raise RuntimeError(
+                f"window cache has {len(data)} windows but the {n_dev}-device "
+                f"mesh needs at least {n_dev} per batch - nothing would train"
+            )
+        print(f"[LPDM-T] batch {bsz} > cache {len(data)}; clamped to {clamped}")
+        bsz = clamped
+        tcfg = dataclasses.replace(tcfg, batch_size=bsz)
     # two step programs: with the DDIM/vertex monitor (every
     # ``monitor_every``-th step) and without (all other steps) - monitors
     # carry no gradient, so throttling only thins the logged metrics.
@@ -411,7 +436,14 @@ def task_infer_gesture(cfg, wav_dir: str = "viz_dump/test/speech"):
 
     reps = max(1, cfg.test.replication_times)  # trainer.py:550 semantics
     for wav in wavs:
-        wave = load_wav_resampled(wav)
+        try:
+            wave = load_wav_resampled(wav)
+            if wave.shape[-1] < 160_000:
+                print(f"[infer] {wav.name}: shorter than one 10 s window; skipped")
+                continue
+        except Exception as e:  # unreadable/corrupt file: skip, don't abort
+            print(f"[infer] {wav.name}: unreadable ({e}); skipped")
+            continue
         # BEAT-style stems carry the actor name (e.g. 2_scott_0_9_9); use it
         # so the exported npz gets the right gender/betas
         subject = next((p for p in wav.stem.split("_") if p in NAME_TO_ACTOR), "")
@@ -419,8 +451,13 @@ def task_infer_gesture(cfg, wav_dir: str = "viz_dump/test/speech"):
             rep = wi_rep
             # fold the wav identity into the seed: seed+rep alone gives
             # every file the same DDIM init latents (eta=0 -> correlated
-            # generations across files)
-            wav_seed = (cfg.seed + rep) * 1_000_003 + (hash(wav.stem) & 0xFFFF)
+            # generations across files). crc32, NOT hash(): the builtin is
+            # salted per process, which would break run-to-run determinism
+            import zlib
+
+            wav_seed = (cfg.seed + rep) * 1_000_003 + (
+                zlib.crc32(wav.stem.encode()) & 0xFFFF
+            )
             result = pipe.infer_wav(wave, seed=wav_seed)
             rep_dir = run_dir / "gesture" / wav.stem / f"rep{rep}"
             paths = export_windows(rep_dir, result, subject=subject, stem=wav.stem)

@@ -43,9 +43,16 @@ class Take:
 
 def emotion_label(csv_path: Path) -> int:
     """Emotion id from the BEAT per-take CSV: last value of the final row
-    (dm/dm.py:347-355)."""
-    rows = np.genfromtxt(csv_path, delimiter=",")
-    return int(np.atleast_2d(rows)[-1, -1])
+    (dm/dm.py:347-355). Malformed/empty CSVs default to 0 (neutral) with a
+    warning instead of aborting a whole dataset build."""
+    rows = np.atleast_2d(np.genfromtxt(csv_path, delimiter=","))
+    if rows.size == 0 or not np.isfinite(rows[-1, -1]):
+        import warnings
+
+        warnings.warn(f"unparseable emotion CSV {csv_path}; defaulting to 0",
+                      stacklevel=2)
+        return 0
+    return int(rows[-1, -1])
 
 
 def discover(

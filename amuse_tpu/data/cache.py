@@ -75,6 +75,11 @@ def build_stage2_cache(
     for t in takes:
         motion = beat_mod.load_mosh_motion(t.mosh_npz)
         wave = load_wav_resampled(t.wav)
+        if wave.shape[-1] < chunk_samples:
+            # one truncated/corrupt wav must not abort the whole build
+            print(f"[cache] {t.actor_name}/{t.take}: wav shorter than one "
+                  f"10 s chunk ({wave.shape[-1]} samples); skipped")
+            continue
         chunks = fbank_mod.window_waveform(wave, reference_quirk_chunking)
         cond = encode_audio_fn(chunks.astype(np.float32))
         con = np.asarray(cond["con"])
@@ -190,9 +195,11 @@ def merge_caches(cache_dirs, out_dir) -> Path:
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     shards, total = [], 0
+    sources = set()
     for d in cache_dirs:
         d = Path(d)
         manifest = json.loads((d / "manifest.json").read_text())
+        sources.add(manifest.get("ast_source", ""))
         for s in manifest["shards"]:
             src = d / s
             name = f"shard_{len(shards):05d}" + ("" if src.is_dir() else ".npz")
@@ -204,8 +211,19 @@ def merge_caches(cache_dirs, out_dir) -> Path:
                     shutil.copyfile(src, dst)
             shards.append(name)
         total += manifest["num_windows"]
+    if len(sources) > 1:
+        raise RuntimeError(
+            f"refusing to merge caches built from DIFFERENT AST weights: "
+            f"{sorted(sources)} - their con/emo/sty features are incompatible"
+        )
     (out_dir / "manifest.json").write_text(
-        json.dumps({"num_windows": total, "shards": shards, "fields": list(FIELDS)}, indent=1)
+        json.dumps(
+            {"num_windows": total, "shards": shards, "fields": list(FIELDS),
+             # propagate provenance so the stale-weights rebuild guard in
+             # build_stage2_cache keeps working on merged caches
+             "ast_source": next(iter(sources), "")},
+            indent=1,
+        )
     )
     return out_dir
 

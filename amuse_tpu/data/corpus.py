@@ -48,6 +48,10 @@ def hash_embedding(text: str, dim: int = 768) -> np.ndarray:
 def encode_dialogue(text: str, dim: int = 768) -> np.ndarray:
     """Dialogue string -> (dim,) embedding (GPT-2 mean-pooled hidden state
     when weights are present, hashed fallback otherwise)."""
+    if not text.strip():
+        # GPT-2 over a zero-length sequence would mean() to NaN; the hashed
+        # fallback already returns zeros for empty text - match it
+        return np.zeros(dim, np.float32)
     g = _try_load_gpt2()
     if g:
         import torch

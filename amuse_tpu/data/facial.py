@@ -40,10 +40,18 @@ def load_facial_json(path) -> dict:
     return json.loads(Path(path).read_text())
 
 
-def facial_frame_rate(facial: dict) -> float:
-    """Estimate the capture fps from frame timestamps (facial_utils.py:47)."""
+def facial_frame_rate(facial: dict, default: float = 60.0) -> float:
+    """Estimate the capture fps from frame timestamps (facial_utils.py:47
+    samples frames 10..20); short captures fall back to the first/last span
+    and degenerate timestamps to ``default`` instead of crashing."""
     frames = facial["frames"]
-    return 1.0 / ((frames[20]["time"] - frames[10]["time"]) / 10.0)
+    if len(frames) > 20:
+        dt = (frames[20]["time"] - frames[10]["time"]) / 10.0
+    elif len(frames) >= 2:
+        dt = (frames[-1]["time"] - frames[0]["time"]) / (len(frames) - 1)
+    else:
+        return default
+    return 1.0 / dt if dt > 0 else default
 
 
 def process_facial(

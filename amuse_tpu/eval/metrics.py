@@ -49,7 +49,9 @@ def gaussian_frechet_distance(
 def _fit_gaussian(feats: jax.Array) -> tuple[jax.Array, jax.Array]:
     mu = jnp.mean(feats, axis=0)
     x = feats - mu
-    cov = (x.T @ x) / (feats.shape[0] - 1)
+    # n=1: zero covariance (0/0 would be NaN); FGD degenerates to the mean
+    # distance, which is the honest answer for a single sample
+    cov = (x.T @ x) / max(feats.shape[0] - 1, 1)
     return mu, cov
 
 

@@ -183,7 +183,8 @@ def render_windows(
         i = window_index(npz)
         raw = npz.with_suffix(".mp4")
         if not render_with_blender(npz, raw, render_script=render_script, fps=fps):
-            return videos
+            continue  # best-effort PER WINDOW: one failed render must not
+            # abandon the remaining windows
         if wav_path is not None and mux_audio(
             raw, wav_path, npz.with_name(npz.stem + "_audio.mp4"),
             offset=i * window_seconds, duration=window_seconds,
