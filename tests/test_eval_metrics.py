@@ -83,3 +83,13 @@ class TestDiversityApeAve:
         rng = np.random.default_rng(2)
         gt = jnp.asarray(rng.normal(size=(2, 50, 3, 3)), jnp.float32)
         np.testing.assert_allclose(float(M.ave(gt, gt)), 0.0, atol=1e-7)
+
+
+class TestDegenerateInputs:
+    def test_fgd_single_sample_is_finite(self):
+        import jax.numpy as jnp
+
+        a = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8)), jnp.float32)
+        b = jnp.asarray(np.random.default_rng(1).normal(size=(1, 8)), jnp.float32)
+        v = float(M.fgd(a, b))
+        assert np.isfinite(v)  # was NaN: covariance divided by n-1 = 0

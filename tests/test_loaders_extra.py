@@ -172,3 +172,47 @@ class TestTranscripts:
 
         v = encode_take_transcript("0_9_9", dim=32)
         assert v is not None and v.shape == (32,)
+
+
+class TestDegenerateDataInputs:
+    def test_empty_emotion_csv_defaults_to_neutral(self, tmp_path):
+        import warnings
+
+        from amuse_tpu.data.beat import emotion_label
+
+        p = tmp_path / "e.csv"
+        p.write_text("")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            assert emotion_label(p) == 0
+
+    def test_facial_frame_rate_short_capture(self):
+        from amuse_tpu.data.facial import facial_frame_rate
+
+        short = {"frames": [{"time": 0.0}, {"time": 0.1}]}
+        assert abs(facial_frame_rate(short) - 10.0) < 1e-6
+        assert facial_frame_rate({"frames": []}) == 60.0
+        dup = {"frames": [{"time": 1.0}] * 25}
+        assert facial_frame_rate(dup) == 60.0  # zero dt -> default
+
+    def test_encode_dialogue_empty_text_is_zeros(self):
+        from amuse_tpu.data.corpus import encode_dialogue
+
+        v = encode_dialogue("   ", dim=16)
+        np.testing.assert_array_equal(v, 0.0)
+
+    def test_merge_caches_refuses_mixed_ast_sources(self, tmp_path):
+        import json
+
+        import pytest
+
+        from amuse_tpu.data.cache import merge_caches
+
+        for i, srcname in enumerate(["random-weights", "/ckpt/run1"]):
+            d = tmp_path / f"c{i}"
+            d.mkdir()
+            (d / "manifest.json").write_text(json.dumps(
+                {"num_windows": 0, "shards": [], "fields": [], "ast_source": srcname}
+            ))
+        with pytest.raises(RuntimeError, match="DIFFERENT AST weights"):
+            merge_caches([tmp_path / "c0", tmp_path / "c1"], tmp_path / "out")
