@@ -108,6 +108,10 @@ class TestConfig:
     replication_times: int = 1
     actors: tuple = ()
     emotion: str = "happy"
+    # eval_gesture: refuse to run APE/AVE/beat-align in rotation space (i.e.
+    # require data.smplx_model_dir/SMPLX_NEUTRAL.npz) so rotation-space
+    # numbers can never be published as position-space ones by accident
+    strict_position_space: bool = False
 
 
 @dataclass(frozen=True)

@@ -587,14 +587,33 @@ def task_eval_gesture(cfg):
     from amuse_tpu.eval.runner import evaluate_cache
 
     run_dir, logger, _ = _setup(cfg)
-    pipe = _make_pipeline(cfg)
-    cache = WindowCache(Path(cfg.data.cache_dir))
     # position-space APE/AVE/beat-align via the JAX SMPL-X FK when the body
-    # model is available; rotation-space fallback otherwise (labelled)
+    # model is available; rotation-space fallback otherwise (labelled).
+    # Checked FIRST (before any model/pipeline build) so strict runs fail
+    # fast and every run states its metric space up front.
     smplx_path = Path(cfg.data.smplx_model_dir) / "SMPLX_NEUTRAL.npz"
     smplx_model = smplx_mod.load_model(smplx_path) if smplx_path.exists() else None
     if smplx_model is None:
-        print("[eval] SMPL-X model npz not found; APE/AVE in rotation space")
+        msg = (
+            f"[eval] SMPL-X body model NOT loaded (looked for {smplx_path}).\n"
+            "[eval] APE/AVE/beat-align will run in ROTATION space - these "
+            "numbers are NOT comparable to position-space (paper) metrics.\n"
+            "[eval] To fix: download SMPLX_NEUTRAL.npz from smpl-x.is.tue.mpg.de "
+            f"(licensed, not vendorable) into {cfg.data.smplx_model_dir}/, or "
+            "set data.smplx_model_dir. The report will be labelled "
+            'metric_space: "rotation".'
+        )
+        if cfg.test.strict_position_space:
+            raise SystemExit(
+                msg + "\n[eval] test.strict_position_space=true: refusing to "
+                "produce rotation-space numbers."
+            )
+        print(msg)
+    else:
+        print(f"[eval] SMPL-X body model loaded from {smplx_path}; "
+              "APE/AVE/beat-align in position space (FK joints)")
+    pipe = _make_pipeline(cfg)
+    cache = WindowCache(Path(cfg.data.cache_dir))
     results = evaluate_cache(
         pipe, cache,
         batch_size=min(cfg.gesture.batch_size, len(cache)),

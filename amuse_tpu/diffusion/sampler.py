@@ -32,18 +32,23 @@ def ddim_sample(
     shape: tuple[int, ...],
     num_inference_steps: int = 50,
     steps_offset: int = 1,
+    clip_sample: bool = True,
 ) -> jax.Array:
     """Draw x_0 by 50-step deterministic DDIM from N(0, I) latents.
 
     Matches ldm.py:118-153: latents ~ N(0,1) * init_noise_sigma(=1), then the
-    eta=0 DDIM update per timestep.
+    eta=0 DDIM update per timestep. ``clip_sample=True`` mirrors the
+    reference's un-overridden diffusers DDIMScheduler default (pred-x0
+    clamped to [-1, 1] each step — see ddim_step's docstring).
     """
     timesteps = ddim_timesteps(schedule, num_inference_steps, steps_offset)
     latents = jax.random.normal(rng, shape, jnp.float32) * schedule.init_noise_sigma
 
     def body(latents, t):
         eps = denoise_fn(latents, t)
-        latents = ddim_step(schedule, eps, t, latents, num_inference_steps)
+        latents = ddim_step(
+            schedule, eps, t, latents, num_inference_steps, clip_sample=clip_sample
+        )
         return latents, None
 
     latents, _ = jax.lax.scan(body, latents, timesteps)

@@ -92,11 +92,20 @@ def ddim_step(
     num_inference_steps: int = 50,
     eta: float = 0.0,
     set_alpha_to_one: bool = False,
+    clip_sample: bool = True,
+    clip_sample_range: float = 1.0,
 ) -> jax.Array:
     """One deterministic DDIM update x_t -> x_{t-dt} (DDIMScheduler.step, eta=0).
 
     eta > 0 is intentionally unsupported: every shipped config runs eta=0
     (configs/diff_latent_v2.json:65) and the eta=0 branch needs no noise.
+
+    ``clip_sample`` defaults to True because the reference constructs its
+    DDIMScheduler WITHOUT overriding it (ldm.py:51-57, infer_ldm.py:116-123)
+    and diffusers-0.17.1's default is True: the reference's sampling clamps
+    every pred-x0 into [-1, 1]. Only the DDPM (noising) scheduler gets
+    clip_sample=false from diff_latent_v2.json:54. Caught by the torch
+    diffusers oracle (tests/thirdparty/diffusers_schedulers.py) in round 3.
     """
     assert eta == 0.0, "stochastic DDIM (eta > 0) not used by any shipped config"
     step_ratio = schedule.num_train_timesteps // num_inference_steps
@@ -108,5 +117,7 @@ def ddim_step(
     alpha_prev = jnp.where(prev_t >= 0, schedule.alphas_cumprod[jnp.maximum(prev_t, 0)], final_alpha)
 
     pred_x0 = (sample - jnp.sqrt(1.0 - alpha_t) * model_output) / jnp.sqrt(alpha_t)
+    if clip_sample:
+        pred_x0 = jnp.clip(pred_x0, -clip_sample_range, clip_sample_range)
     direction = jnp.sqrt(1.0 - alpha_prev) * model_output
     return jnp.sqrt(alpha_prev) * pred_x0 + direction

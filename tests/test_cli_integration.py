@@ -164,3 +164,16 @@ def test_edit_gesture_emotion_control(beat_tree, tmp_path, monkeypatch):
     # exists; emotion cross-wiring across takes is covered by test_editing.py
     variants = {p.parent.parent.name for p in outs}
     assert variants == {"self"}, variants
+
+
+def test_eval_gesture_strict_refuses_rotation_space(beat_tree, tmp_path):
+    """test.strict_position_space + no SMPL-X body model -> hard refusal
+    BEFORE any model is built (no silent rotation-space 'APE')."""
+    import dataclasses
+
+    cfg = make_cfg(beat_tree, tmp_path)  # smplx_model_dir points nowhere
+    cfg = dataclasses.replace(
+        cfg, test=dataclasses.replace(cfg.test, strict_position_space=True)
+    )
+    with pytest.raises(SystemExit, match="rotation-space"):
+        cli.task_eval_gesture(cfg)

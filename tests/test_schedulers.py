@@ -48,6 +48,9 @@ class TestSchedule:
         assert ts[0] == 981 and ts[-1] == 1
 
     def test_ddim_step_matches_closed_form(self):
+        # clip_sample defaults to True: the reference's DDIMScheduler is
+        # built without overriding diffusers' clip_sample=True default, so
+        # pred-x0 is clamped into [-1, 1] before the update.
         s = make_schedule()
         _, acp = ref_tables()
         x = jnp.full((1, 1, 4), 0.7)
@@ -56,8 +59,16 @@ class TestSchedule:
         out = np.asarray(ddim_step(s, eps, jnp.asarray(t), x, 50))
         a_t, a_prev = acp[t], acp[t - 20]
         x0 = (0.7 - np.sqrt(1 - a_t) * (-0.3)) / np.sqrt(a_t)
-        expected = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * (-0.3)
+        assert x0 > 1.0  # the clamp must actually engage at this t
+        expected = np.sqrt(a_prev) * np.clip(x0, -1, 1) + np.sqrt(1 - a_prev) * (-0.3)
         np.testing.assert_allclose(out, expected, rtol=1e-5)
+
+        out_noclip = np.asarray(
+            ddim_step(s, eps, jnp.asarray(t), x, 50, clip_sample=False)
+        )
+        expected_noclip = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * (-0.3)
+        np.testing.assert_allclose(out_noclip, expected_noclip, rtol=1e-5)
+        assert not np.allclose(out, out_noclip)
 
     def test_ddim_final_step_uses_alpha0(self):
         # set_alpha_to_one=False: at t=1 the "previous" alpha is acp[0].
