@@ -32,6 +32,10 @@ class DataConfig:
     # blender paths + the bundled SMPL-X T-pose rig / ARP bone-map preset)
     tpose_smplx_bvh: str = ""
     arp_preset: str = ""
+    # external FGD embedder weights (train with --fn train_embedder). Empty
+    # -> the checked-in synthetic-regime artefact (eval/embedder.py); the
+    # eval report always carries the embedder's provenance string.
+    embedder_path: str = ""
 
 
 @dataclass(frozen=True)
@@ -75,6 +79,12 @@ class GestureStageConfig:
     skip_trans: bool = False
     train_upper_body: bool = False
     vtex_displacement: bool = True
+    # >0: run the no-grad vertex-displacement monitors on a fixed random
+    # subset of this many vertices (of SMPL-X's 10475). Per-vertex values
+    # are exact (core/smplx.py::subsample_vertices), so the monitor becomes
+    # an unbiased mean over the subset at ~10475/n of the LBS cost. 0 = full
+    # mesh (the reference's exact loss surface, latent_losses.py:174-250).
+    vtex_subsample: int = 0
     monitor_every: int = 1
     # C++ ABIN prefetch loader for the train input pipeline. Default False by
     # measurement (benchmarks/input_pipeline.py): with a warm page cache the
@@ -115,10 +125,23 @@ class TestConfig:
 
 
 @dataclass(frozen=True)
+class EmbedderTrainConfig:
+    """--fn train_embedder: the external FGD feature extractor (an AE over
+    ground-truth motion windows only - see amuse_tpu/eval/embedder.py)."""
+
+    epochs: int = 50
+    learning_rate: float = 1e-3
+    latent_dim: int = 64
+    channels: tuple = (128, 64)
+    batch_size: int = 32
+
+
+@dataclass(frozen=True)
 class Config:
     data: DataConfig = DataConfig()
     audio: AudioStageConfig = AudioStageConfig()
     gesture: GestureStageConfig = GestureStageConfig()
+    embedder: EmbedderTrainConfig = EmbedderTrainConfig()
     test: TestConfig = TestConfig()
     seed: int = 2021
     debug: bool = False

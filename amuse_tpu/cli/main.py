@@ -331,6 +331,14 @@ def task_train_gesture(cfg):
     smplx_model = smplx_mod.load_model(smplx_path) if smplx_path.exists() else None
     if g.vtex_displacement and smplx_model is None:
         print("[LPDM-T] SMPL-X model npz not found; vertex monitor disabled")
+    if smplx_model is not None and g.vtex_subsample > 0:
+        smplx_model = smplx_mod.subsample_vertices(
+            smplx_model, g.vtex_subsample, seed=cfg.seed
+        )
+        print(
+            f"[LPDM-T] vertex monitor subsampled to {smplx_model.num_vertices} "
+            "vertices (exact per-vertex, unbiased mean)"
+        )
 
     prior_cfg, den_cfg, _ = _model_cfgs(cfg)
 
@@ -612,16 +620,78 @@ def task_eval_gesture(cfg):
     else:
         print(f"[eval] SMPL-X body model loaded from {smplx_path}; "
               "APE/AVE/beat-align in position space (FK joints)")
+    from amuse_tpu.eval import embedder as emb
+
+    emb_path = Path(cfg.data.embedder_path) if cfg.data.embedder_path else emb.DEFAULT_WEIGHTS
+    embedder = None
+    if emb_path.exists():
+        embedder = emb.load(emb_path)
+        print(f"[eval] external FGD embedder: {emb_path} ({embedder[2]})")
+    else:
+        print(f"[eval] no external embedder at {emb_path}; fgd_embedder "
+              "omitted (train one with --fn train_embedder)")
     pipe = _make_pipeline(cfg)
     cache = WindowCache(Path(cfg.data.cache_dir))
     results = evaluate_cache(
         pipe, cache,
         batch_size=min(cfg.gesture.batch_size, len(cache)),
-        seed=cfg.seed, smplx_model=smplx_model,
+        seed=cfg.seed, smplx_model=smplx_model, embedder=embedder,
     )
     print("[eval]", json.dumps(results, indent=1))
     if not cfg.debug:
         (run_dir / "eval_results.json").write_text(json.dumps(results, indent=1))
+
+
+def task_train_embedder(cfg):
+    """Train the EXTERNAL FGD feature extractor on ground-truth windows only
+    (never the generative model) and save a single-file npz with provenance.
+    Output: <out_dir>/<ts>/embedder.npz; point data.embedder_path at it (or
+    copy over amuse_tpu/eval/weights/motion_embedder_synthetic.npz)."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amuse_tpu.core import motion as motion_mod
+    from amuse_tpu.data.cache import WindowCache
+    from amuse_tpu.eval import embedder as emb
+
+    run_dir, logger, key = _setup(cfg)
+    cache = WindowCache(Path(cfg.data.cache_dir))
+    if len(cache) == 0:
+        raise SystemExit("[embedder] empty window cache - run prepare_data first")
+    e = cfg.embedder
+    ecfg = emb.EmbedderConfig(
+        in_dim=333, window=cfg.data.window_frames,
+        channels=tuple(e.channels), latent_dim=e.latent_dim,
+    )
+    params = emb.init_params(key, ecfg)
+    step, opt = emb.make_train_step(ecfg, e.learning_rate)
+    opt_state = opt.init(params)
+    bsz = max(1, min(e.batch_size, len(cache)))
+    n_batches = len(cache) // bsz
+    order = np.arange(n_batches * bsz)
+    rng = np.random.default_rng(cfg.seed)
+    for epoch in range(e.epochs):
+        t0 = time.time()
+        rng.shuffle(order)
+        tot = 0.0
+        for b in range(n_batches):
+            idx = order[b * bsz : (b + 1) * bsz]
+            motion = jnp.asarray(np.stack([cache[int(i)]["motion"] for i in idx]))
+            m6 = motion_mod.axis_angle_to_feats6d(motion)
+            params, opt_state, loss = step(params, opt_state, m6)
+            tot += float(loss)
+        if epoch % 10 == 0 or epoch == e.epochs - 1:
+            print(f"[embedder] epoch {epoch + 1}/{e.epochs} "
+                  f"({time.time() - t0:.1f}s): recon={tot / max(n_batches, 1):.6f}")
+    provenance = (
+        f"trained by --fn train_embedder on cache={cfg.data.cache_dir} "
+        f"({len(cache)} windows), {e.epochs} epochs, seed {cfg.seed}"
+    )
+    out = run_dir / "embedder.npz"
+    emb.save(out, params, ecfg, provenance)
+    print(f"[embedder] saved -> {out}")
 
 
 def task_bvh2smplx(cfg):
@@ -698,6 +768,7 @@ def task_bvh2smplx(cfg):
 
 TASKS = {
     "eval_gesture": task_eval_gesture,
+    "train_embedder": task_train_embedder,
     "train_audio": task_train_audio,
     "train_gesture": task_train_gesture,
     "infer_gesture": task_infer_gesture,

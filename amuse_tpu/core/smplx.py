@@ -45,6 +45,12 @@ class SmplxModel(NamedTuple):
     parents: np.ndarray  # (J,) host-side int32, parents[0] == -1 (STATIC:
     # the kinematic tree is compile-time constant, so FK unrolls at trace
     # time; keep models closed over in jitted functions, not passed as args)
+    # Analytic joint tables (the J_regressor folded through the template and
+    # shape basis): joints_rest = j_template + j_shapedirs . coeffs, exactly
+    # equal to j_regressor @ v_shaped by linearity. REQUIRED when the vertex
+    # set is subsampled (j_regressor spans the full mesh); optional otherwise.
+    j_template: jax.Array | None = None  # (J, 3)
+    j_shapedirs: jax.Array | None = None  # (J, 3, n_coeffs)
 
     @property
     def num_vertices(self) -> int:
@@ -107,6 +113,48 @@ def make_test_model(num_vertices: int = 64, num_joints: int = 6, num_betas: int 
         j_regressor=jnp.asarray(j_reg),
         lbs_weights=jnp.asarray(lbs),
         parents=parents,
+    )
+
+
+def subsample_vertices(model: SmplxModel, n: int, seed: int = 0) -> SmplxModel:
+    """A model whose vertex set is a fixed random subset of ``n`` vertices.
+
+    Per-vertex outputs are EXACT: each vertex's LBS depends only on its own
+    template/shape/pose rows and the joint transforms, and the joints are
+    regressed through the analytically folded ``j_template``/``j_shapedirs``
+    tables (identical to ``j_regressor @ v_shaped`` by linearity). So the
+    subsampled forward returns exactly ``full_forward(...)["vertices"][idx]``
+    — the vertex-displacement monitor (train/gesture.py) becomes an unbiased
+    mean over n of 10475 vertices at ~V/n of the LBS cost. Joints/FK are
+    unchanged (eval metrics unaffected).
+
+    The subset is deterministic in ``seed`` so monitor values are comparable
+    across steps and restarts.
+    """
+    V = model.num_vertices
+    if n >= V:
+        return model
+    idx = np.sort(np.random.default_rng(seed).choice(V, size=n, replace=False))
+    j_template = (
+        model.j_template
+        if model.j_template is not None
+        else model.j_regressor @ model.v_template
+    )
+    j_shapedirs = (
+        model.j_shapedirs
+        if model.j_shapedirs is not None
+        else jnp.einsum("jv,vck->jck", model.j_regressor, model.shapedirs)
+    )
+    posedirs = model.posedirs.reshape(model.posedirs.shape[0], V, 3)
+    return SmplxModel(
+        v_template=model.v_template[idx],
+        shapedirs=model.shapedirs[idx],
+        posedirs=posedirs[:, idx].reshape(model.posedirs.shape[0], -1),
+        j_regressor=model.j_regressor[:, idx],  # shape-consistent; unused
+        lbs_weights=model.lbs_weights[idx],
+        parents=model.parents,
+        j_template=j_template,
+        j_shapedirs=j_shapedirs,
     )
 
 
@@ -178,7 +226,14 @@ def forward(
         coeffs = jnp.pad(coeffs, (0, coeff_dim - coeffs.shape[0]))
 
     v_shaped = model.v_template + jnp.einsum("vck,k->vc", model.shapedirs, coeffs)
-    joints_rest = model.j_regressor @ v_shaped  # (J, 3)
+    if model.j_template is not None:
+        # folded regressor: exact, and the only valid path on a
+        # vertex-subsampled model (j_regressor spans the full mesh)
+        joints_rest = model.j_template + jnp.einsum(
+            "jck,k->jc", model.j_shapedirs, coeffs
+        )
+    else:
+        joints_rest = model.j_regressor @ v_shaped  # (J, 3)
 
     rot_mats = axis_angle_to_matrix(poses.reshape(n_joints, 3))
     if return_vertices:

@@ -33,6 +33,7 @@ def ddim_sample(
     num_inference_steps: int = 50,
     steps_offset: int = 1,
     clip_sample: bool = True,
+    initial_latents: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Draw x_0 by 50-step deterministic DDIM from N(0, I) latents.
 
@@ -40,9 +41,15 @@ def ddim_sample(
     eta=0 DDIM update per timestep. ``clip_sample=True`` mirrors the
     reference's un-overridden diffusers DDIMScheduler default (pred-x0
     clamped to [-1, 1] each step — see ddim_step's docstring).
+    ``initial_latents`` replaces the N(0,1) draw for strict A/B against a
+    torch run's recorded init (tools/parity_report.py --latents-npz).
     """
     timesteps = ddim_timesteps(schedule, num_inference_steps, steps_offset)
-    latents = jax.random.normal(rng, shape, jnp.float32) * schedule.init_noise_sigma
+    latents = (
+        initial_latents
+        if initial_latents is not None
+        else jax.random.normal(rng, shape, jnp.float32) * schedule.init_noise_sigma
+    )
 
     def body(latents, t):
         eps = denoise_fn(latents, t)

@@ -1,0 +1,134 @@
+"""External motion feature extractor for FGD (not the evaluated model).
+
+The paper's headline quality metric is FGD computed in the feature space of
+a SEPARATELY trained motion embedder (the reference's in-repo metric module
+``val_metrics.py`` was dead code; the published numbers came from an
+external embedder). Round-2's ``fgd`` used the motion prior's own latent -
+self-referential by construction. This module provides the independent
+embedding: a temporal-conv autoencoder over motion feature windows, trained
+by plain reconstruction on ground-truth data only (standard practice for
+gesture FGD, e.g. Yoon et al.'s conv-AE embedder), never touching the
+generative model under test.
+
+Train via ``--fn train_embedder`` (amuse_tpu/cli/main.py), which saves a
+single-file npz (weights + config + provenance). ``eval_gesture`` then
+reports ``fgd_embedder`` in this feature space alongside the prior-space
+``fgd`` (amuse_tpu/eval/runner.py).
+
+A checked-in artefact trained on the synthetic smoke-test regime lives at
+``amuse_tpu/eval/weights/motion_embedder_synthetic.npz`` so the metric runs
+out of the box; reports carry the embedder's provenance string so
+synthetic-regime numbers can never masquerade as BEAT-regime ones.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+DEFAULT_WEIGHTS = Path(__file__).resolve().parent / "weights" / "motion_embedder_synthetic.npz"
+
+
+@dataclass(frozen=True)
+class EmbedderConfig:
+    in_dim: int = 333  # 6D motion feats (55*6+3); set 165*? for positions
+    window: int = 300
+    channels: tuple = (128, 64)
+    latent_dim: int = 64
+
+
+class MotionEmbedder(nn.Module):
+    """Strided temporal-conv encoder -> latent; mirror decoder for training."""
+
+    cfg: EmbedderConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, decode: bool = False):
+        """(B, T, in_dim) -> (B, latent) embedding; with ``decode`` also the
+        (B, T, in_dim) reconstruction used only at training time."""
+        c = self.cfg
+        h = x
+        for ch in c.channels:
+            h = nn.Conv(ch, kernel_size=(5,), strides=(2,), name=f"enc{ch}")(h)
+            h = nn.gelu(h)
+        pooled = h.mean(axis=1)  # (B, ch[-1]) global average over time
+        z = nn.Dense(c.latent_dim, name="to_latent")(pooled)
+        if not decode:
+            return z
+        t_down = h.shape[1]
+        h = nn.Dense(t_down * c.channels[-1], name="from_latent")(z)
+        h = nn.gelu(h).reshape(h.shape[0], t_down, c.channels[-1])
+        for ch in reversed(c.channels[:-1]):
+            h = nn.ConvTranspose(ch, kernel_size=(5,), strides=(2,), name=f"dec{ch}")(h)
+            h = nn.gelu(h)
+        h = nn.ConvTranspose(c.in_dim, kernel_size=(5,), strides=(2,), name="to_feats")(h)
+        # strided convs round T up by powers of 2; crop back
+        return z, h[:, : x.shape[1]]
+
+
+def init_params(rng: jax.Array, cfg: EmbedderConfig) -> dict:
+    model = MotionEmbedder(cfg)
+    return jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, cfg.window, cfg.in_dim)), True
+    ))(rng)["params"]
+
+
+def make_train_step(cfg: EmbedderConfig, learning_rate: float = 1e-3):
+    import optax
+
+    model = MotionEmbedder(cfg)
+    opt = optax.adam(learning_rate)
+
+    def loss_fn(params, batch):
+        _, recon = model.apply({"params": params}, batch, True)
+        return jnp.mean((recon - batch) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = opt.update(grads, opt_state)
+        return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
+
+    return step, opt
+
+
+def embed(params: dict, cfg: EmbedderConfig, motion: jax.Array) -> jax.Array:
+    """(B, T, in_dim) -> (B, latent); the FGD feature map."""
+    return MotionEmbedder(cfg).apply({"params": params}, motion)
+
+
+# ---- single-file npz (de)serialisation -------------------------------------
+
+def save(path, params: dict, cfg: EmbedderConfig, provenance: str) -> None:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {
+        "/".join(str(getattr(k, "key", k)) for k in keypath): np.asarray(v)
+        for keypath, v in flat
+    }
+    meta = json.dumps({"config": asdict(cfg), "provenance": provenance})
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, __meta__=np.frombuffer(meta.encode(), np.uint8), **arrays)
+
+
+def load(path) -> tuple[dict, EmbedderConfig, str]:
+    d = np.load(path)
+    meta = json.loads(bytes(d["__meta__"]).decode())
+    cfg_d = meta["config"]
+    cfg_d["channels"] = tuple(cfg_d["channels"])
+    cfg = EmbedderConfig(**cfg_d)
+    params: dict = {}
+    for key in d.files:
+        if key == "__meta__":
+            continue
+        node = params
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(d[key])
+    return params, cfg, meta["provenance"]

@@ -13,11 +13,12 @@ Metric spaces:
     semantics (MLD's position-space metrics, latent_losses.py vertex/joint
     space). Without a body model they fall back to axis-angle rotations and
     the report is labelled ``metric_space: "rotation"``.
-  * FGD's embedding is the motion prior's own latent space (the encoder is
-    the only distribution-level feature extractor in the framework). That is
-    self-referential - fine for tracking training, but NOT comparable to
-    paper FGD numbers computed with an external embedder; the key is named
-    ``fgd`` with that caveat documented here deliberately.
+  * ``fgd`` uses the motion prior's own latent space (self-referential -
+    fine for tracking training, kept for continuity and labelled as such).
+  * ``fgd_embedder`` uses an EXTERNAL motion embedder (eval/embedder.py)
+    trained separately on ground-truth windows only - the paper-comparable
+    construction. Its provenance string is included in the report so a
+    synthetic-regime embedder can never pass for a BEAT-regime one.
 """
 
 from __future__ import annotations
@@ -63,14 +64,16 @@ def evaluate_cache(
     batch_size: int = 32,
     seed: int = 0,
     smplx_model=None,
+    embedder=None,  # (params, EmbedderConfig, provenance str) from eval.embedder.load
 ) -> dict[str, float]:
-    """-> {fgd, diversity_real, diversity_gen, ape, ave, beat_align_gen}."""
+    """-> {fgd, fgd_embedder, diversity_real, diversity_gen, ape, ave, ...}."""
     n = min(len(cache), max_windows)
     if n == 0:
         return {"num_windows": 0.0, "error": "empty window cache"}
     # smaller caches than one batch must still evaluate (smoke-test trees)
     batch_size = max(1, min(batch_size, n))
     real_feats, gen_feats = [], []
+    real_emb, gen_emb = [], []
     ape_vals, ave_vals, beat_scores = [], [], []
     fk = make_fk(smplx_model) if smplx_model is not None else None
 
@@ -96,6 +99,17 @@ def evaluate_cache(
 
         gen_aa, gen_tr = pipe.decode_motion(latents)
         ref_aa, ref_tr = motion_mod.feats6d_to_axis_angle(m6)
+        if embedder is not None:
+            from amuse_tpu.core.rotations import axis_angle_to_rotation_6d
+            from amuse_tpu.eval import embedder as emb_mod
+
+            eparams, ecfg, _ = embedder
+            g6 = axis_angle_to_rotation_6d(gen_aa).reshape(
+                gen_aa.shape[0], gen_aa.shape[1], -1
+            )
+            gen_m6 = jnp.concatenate([g6, gen_tr], axis=-1)
+            real_emb.append(np.asarray(emb_mod.embed(eparams, ecfg, m6)))
+            gen_emb.append(np.asarray(emb_mod.embed(eparams, ecfg, gen_m6)))
         if smplx_model is not None:
             from amuse_tpu.data.cache import betas_for_actor_ids
 
@@ -128,4 +142,9 @@ def evaluate_cache(
     }
     if beat_scores:
         out["beat_align_gen"] = float(np.mean(beat_scores))
+    if embedder is not None and real_emb:
+        er = jnp.asarray(np.concatenate(real_emb))
+        eg = jnp.asarray(np.concatenate(gen_emb))
+        out["fgd_embedder"] = float(M.fgd(er, eg))
+        out["fgd_embedder_provenance"] = embedder[2]
     return out

@@ -123,11 +123,13 @@ class GesturePipeline:
             con: jax.Array,
             emo: Optional[jax.Array],
             sty: Optional[jax.Array],
+            initial_latents: Optional[jax.Array] = None,
         ) -> jax.Array:
             """50-step DDIM -> motion latents (N, 1, 128).
 
             = reference ``diffusion_backward`` (infer_ldm.py:130-161) as a
-            single lax.scan.
+            single lax.scan. ``initial_latents`` substitutes the N(0,1) init
+            for strict A/B against a recorded torch run.
             """
 
             def denoise_fn(latents, t):
@@ -136,7 +138,10 @@ class GesturePipeline:
                 )
 
             shape = (con.shape[0], denoiser_cfg.latent_tokens, denoiser_cfg.latent_dim)
-            return ddim_sample(schedule, denoise_fn, rng, shape, num_inference_steps)
+            return ddim_sample(
+                schedule, denoise_fn, rng, shape, num_inference_steps,
+                initial_latents=initial_latents,
+            )
 
         def decode_motion(params: PipelineParams, latents: jax.Array):
             """latents -> (poses (N, 300, 55, 3) axis-angle, trans (N, 300, 3))."""
@@ -171,8 +176,8 @@ class GesturePipeline:
     def encode_audio(self, chunks):
         return self._encode_audio(self.params, chunks)
 
-    def generate_latents(self, rng, con, emo=None, sty=None):
-        return self._generate_latents(self.params, rng, con, emo, sty)
+    def generate_latents(self, rng, con, emo=None, sty=None, initial_latents=None):
+        return self._generate_latents(self.params, rng, con, emo, sty, initial_latents)
 
     def decode_motion(self, latents):
         return self._decode_motion(self.params, latents)

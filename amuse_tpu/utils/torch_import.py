@@ -244,6 +244,78 @@ def vit_from_hf_deit(sd: SD, depth: int) -> dict:
     return params
 
 
+def _bilinear_resize(x: Array, out_h: int, out_w: int) -> Array:
+    """(C, H, W) -> (C, out_h, out_w) bilinear, half-pixel centres
+    (torch ``F.interpolate(mode='bilinear', align_corners=False)`` parity;
+    pinned against torch in tests/test_checkpoint_import.py)."""
+    c, h, w = x.shape
+
+    def grid(out_n: int, in_n: int):
+        src = (np.arange(out_n) + 0.5) * (in_n / out_n) - 0.5
+        src = np.clip(src, 0.0, in_n - 1.0)
+        lo = np.floor(src).astype(np.int64)
+        hi = np.minimum(lo + 1, in_n - 1)
+        frac = (src - lo).astype(x.dtype)
+        return lo, hi, frac
+
+    ylo, yhi, yf = grid(out_h, h)
+    xlo, xhi, xf = grid(out_w, w)
+    top = x[:, ylo][:, :, xlo] * (1 - xf) + x[:, ylo][:, :, xhi] * xf
+    bot = x[:, yhi][:, :, xlo] * (1 - xf) + x[:, yhi][:, :, xhi] * xf
+    return top * (1 - yf[None, :, None]) + bot * yf[None, :, None]
+
+
+def ast_pos_embed_from_imagenet(
+    pos_embed: Array, f_dim: int, t_dim: int, orig_hw: int = 24
+) -> Array:
+    """ImageNet deit pos-emb (1, orig_hw^2 + 2, E) -> AST grid (1, f*t + 2, E).
+
+    Reproduces audio_main_new.py:99-115 exactly: strip the 2 special tokens,
+    reshape to (E, 24, 24); per dimension either CUT from the middle (target
+    <= 24) or bilinearly interpolate (target > 24) - time first, then
+    frequency; re-attach the cls/dist token embeddings unchanged.
+    """
+    e = pos_embed.shape[-1]
+    special, grid = pos_embed[:, :2], pos_embed[:, 2:]
+    x = grid.reshape(orig_hw, orig_hw, e).transpose(2, 0, 1)  # (E, 24, 24)
+    if t_dim <= orig_hw:
+        lo = orig_hw // 2 - t_dim // 2
+        x = x[:, :, lo : lo + t_dim]
+    else:
+        x = _bilinear_resize(x, orig_hw, t_dim)
+    if f_dim <= orig_hw:
+        lo = orig_hw // 2 - f_dim // 2
+        x = x[:, lo : lo + f_dim, :]
+    else:
+        x = _bilinear_resize(x, f_dim, t_dim)
+    flat = x.reshape(e, f_dim * t_dim).T[None]  # (1, f*t, E)
+    return np.concatenate([special, flat], axis=1)
+
+
+def vit_from_imagenet_deit_for_ast(
+    sd: SD, depth: int, f_dim: int = 12, t_dim: int = 101
+) -> dict:
+    """HF DeiT ImageNet weights (3-channel patches, 24x24 grid) -> the ViT
+    subtree of ASTEncoder at the AST patch grid.
+
+    The reference's ImageNet-init surgery (audio_main_new.py:90-115):
+    the RGB patch conv is SUMMED over input channels to make the 1-channel
+    spectrogram conv, and the pos-emb goes through the middle-cut /
+    bilinear-interpolation recipe of :func:`ast_pos_embed_from_imagenet`.
+    """
+    params = vit_from_hf_deit(sd, depth)
+    conv_w = sd["embeddings.patch_embeddings.projection.weight"]  # (E, 3, k, k)
+    conv_1ch = conv_w.sum(axis=1, keepdims=True)  # (E, 1, k, k)
+    params["patch_proj"] = {
+        "kernel": np.ascontiguousarray(conv_1ch.reshape(conv_1ch.shape[0], -1).T),
+        "bias": sd["embeddings.patch_embeddings.projection.bias"],
+    }
+    params["pos_embed"] = ast_pos_embed_from_imagenet(
+        sd["embeddings.position_embeddings"], f_dim, t_dim
+    )
+    return params
+
+
 def _fusion_block_from_torch(sd: SD, prefix: str, num_layers: int) -> dict:
     params = {}
     for i in range(num_layers):

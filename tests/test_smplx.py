@@ -143,3 +143,59 @@ class TestBatchedAndJitted:
         g = jax.grad(loss)(jnp.full((m.num_joints * 3,), 0.1))
         assert bool(jnp.all(jnp.isfinite(g)))
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestSubsampleVertices:
+    """vtex_subsample support: exact per-vertex outputs on a fixed subset."""
+
+    def setup_method(self):
+        self.m = smplx.make_test_model(num_vertices=64)
+        self.sub = smplx.subsample_vertices(self.m, 16, seed=3)
+        rng = np.random.default_rng(1)
+        self.poses = jnp.asarray(
+            0.3 * rng.normal(size=(2, self.m.num_joints * 3)), jnp.float32
+        )
+        self.betas = jnp.asarray(rng.normal(size=(2, 8)), jnp.float32)
+        self.transl = jnp.asarray(0.1 * rng.normal(size=(2, 3)), jnp.float32)
+
+    def _idx(self):
+        return np.sort(np.random.default_rng(3).choice(64, size=16, replace=False))
+
+    def test_vertices_exactly_match_full_subset(self):
+        full = smplx.forward_batch(self.m, self.poses, self.betas, self.transl)
+        sub = smplx.forward_batch(self.sub, self.poses, self.betas, self.transl)
+        assert sub["vertices"].shape == (2, 16, 3)
+        np.testing.assert_allclose(
+            np.asarray(sub["vertices"]),
+            np.asarray(full["vertices"])[:, self._idx()],
+            rtol=1e-6, atol=1e-6,
+        )
+
+    def test_joints_unchanged(self):
+        full = smplx.forward_batch(self.m, self.poses, self.betas, self.transl)
+        sub = smplx.forward_batch(self.sub, self.poses, self.betas, self.transl)
+        np.testing.assert_allclose(
+            np.asarray(sub["joints"]), np.asarray(full["joints"]), rtol=1e-5, atol=1e-6
+        )
+
+    def test_folded_regressor_equals_regressor_path(self):
+        """j_template/j_shapedirs on the FULL model is a pure refactor."""
+        folded = smplx.subsample_vertices(self.m, 64)  # n >= V -> returns model
+        assert folded is self.m
+        with_tables = self.m._replace(
+            j_template=self.m.j_regressor @ self.m.v_template,
+            j_shapedirs=jnp.einsum(
+                "jv,vck->jck", self.m.j_regressor, self.m.shapedirs
+            ),
+        )
+        a = smplx.forward_batch(self.m, self.poses, self.betas, self.transl)
+        b = smplx.forward_batch(with_tables, self.poses, self.betas, self.transl)
+        np.testing.assert_allclose(
+            np.asarray(a["vertices"]), np.asarray(b["vertices"]), rtol=1e-5, atol=1e-6
+        )
+
+    def test_deterministic_in_seed(self):
+        s2 = smplx.subsample_vertices(self.m, 16, seed=3)
+        np.testing.assert_array_equal(
+            np.asarray(self.sub.v_template), np.asarray(s2.v_template)
+        )

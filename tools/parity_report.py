@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""One-command output-parity report vs the released AMUSE checkpoints.
+
+The released .pt files and BEAT data are not reachable in the build sandbox
+(docs/STATUS.md), so output parity against the CUDA reference cannot be
+asserted here. THIS tool makes it a single command the day they are:
+
+    python tools/parity_report.py \
+        --ckpt-dir /path/to/amuse/saved-models \
+        --wav /path/to/speech.wav \
+        [--reference-npz /path/to/reference_output.npz] \
+        [--smplx /path/to/SMPLX_NEUTRAL.npz] \
+        [--out report.json]
+
+What it does:
+  1. imports the released torch checkpoints (AST / prior / latdiff) through
+     amuse_tpu.utils.torch_import (the layout the reference's
+     infer_ldm.py:75-114 loads, incl. metrics-in-filename selection handled
+     by checkpoint_io's globbing),
+  2. runs the fused WAV -> SMPL-X pipeline per 10 s window,
+  3. writes the generated npz(s) next to the report,
+  4. if --reference-npz is given (the reference's own saved animation for
+     the same WAV, visualizer.py:215-225 format), prints a metric diff:
+     per-joint axis-angle MAE/max, translation MAE, and - with --smplx -
+     FK joint-position MAE in metres,
+  5. exits nonzero if any diff exceeds --tol (default 5e-3 rad / m).
+
+Deterministic: the DDIM init latents derive from --seed; the reference's
+output depends on ITS sampling seed, so for strict A/B use
+--latents-npz to feed the exact initial latents recorded from the torch run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--ckpt-dir", required=True, help="released AMUSE .pt dir")
+    ap.add_argument("--wav", required=True)
+    ap.add_argument("--reference-npz", default="", help="reference output npz for the same WAV")
+    ap.add_argument("--latents-npz", default="", help="initial DDIM latents recorded from the torch run (strict A/B)")
+    ap.add_argument("--smplx", default="", help="SMPLX_NEUTRAL.npz for position-space diff")
+    ap.add_argument("--out", default="parity_report.json")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tol", type=float, default=5e-3)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from amuse_tpu.audio.wavio import load_wav_resampled
+    from amuse_tpu.infer.pipeline import GesturePipeline
+    from amuse_tpu.utils.checkpoint_io import _from_torch_dir
+
+    params = _from_torch_dir(Path(args.ckpt_dir))
+    if params is None:
+        print(f"[parity] no importable checkpoints under {args.ckpt_dir} "
+              "(need *ast*/*dtw*, prior*, latdiff* .pt files)")
+        return 2
+    pipe = GesturePipeline(params, dtype=jnp.float32)
+
+    wav = load_wav_resampled(Path(args.wav))
+    n_win = len(wav) // 160_000
+    if n_win == 0:
+        print("[parity] wav shorter than one 10 s window")
+        return 2
+    chunks = jnp.asarray(
+        np.stack([wav[i * 160_000 : (i + 1) * 160_000] for i in range(n_win)])
+    )
+    if args.latents_npz:
+        latents0 = jnp.asarray(np.load(args.latents_npz)["latents"])
+        con, emo, sty = pipe.encode_audio(chunks)
+        lat = pipe.generate_latents(
+            jax.random.key(args.seed), con, emo, sty, initial_latents=latents0
+        )
+        poses, trans = pipe.decode_motion(lat)
+    else:
+        poses, trans = pipe.wav_to_motion(jax.random.key(args.seed), chunks)
+    poses, trans = np.asarray(poses), np.asarray(trans)
+
+    out_dir = Path(args.out).resolve().parent
+    gen_npz = out_dir / (Path(args.wav).stem + "_amuse_tpu.npz")
+    np.savez(gen_npz, poses=poses, trans=trans, fps=30.0)
+    report: dict = {
+        "wav": args.wav,
+        "ckpt_dir": args.ckpt_dir,
+        "windows": int(n_win),
+        "generated_npz": str(gen_npz),
+    }
+
+    if args.reference_npz:
+        ref = np.load(args.reference_npz)
+        rp = np.asarray(ref["poses"], np.float32).reshape(poses.shape[0], -1, 55, 3) \
+            if ref["poses"].ndim != 4 else np.asarray(ref["poses"], np.float32)
+        rp = rp.reshape(poses.shape)
+        rt = np.asarray(ref["trans"], np.float32).reshape(trans.shape)
+        report["pose_mae_rad"] = float(np.abs(poses - rp).mean())
+        report["pose_max_rad"] = float(np.abs(poses - rp).max())
+        report["trans_mae_m"] = float(np.abs(trans - rt).mean())
+        if args.smplx:
+            from amuse_tpu.core import smplx as smplx_mod
+            from amuse_tpu.eval.runner import make_fk
+
+            model = smplx_mod.load_model(Path(args.smplx))
+            fk = make_fk(model)
+            betas = jnp.zeros((1, model.shapedirs.shape[-1]))
+            j_gen = np.asarray(fk(jnp.asarray(poses.reshape(1, -1, 55, 3)),
+                                  jnp.asarray(trans.reshape(1, -1, 3)), betas))
+            j_ref = np.asarray(fk(jnp.asarray(rp.reshape(1, -1, 55, 3)),
+                                  jnp.asarray(rt.reshape(1, -1, 3)), betas))
+            report["joint_pos_mae_m"] = float(np.abs(j_gen - j_ref).mean())
+            report["joint_pos_max_m"] = float(np.abs(j_gen - j_ref).max())
+        worst = max(
+            report.get("pose_mae_rad", 0.0),
+            report.get("trans_mae_m", 0.0),
+            report.get("joint_pos_mae_m", 0.0),
+        )
+        report["pass"] = bool(worst <= args.tol)
+
+    Path(args.out).write_text(json.dumps(report, indent=1))
+    print(json.dumps(report, indent=1))
+    return 0 if report.get("pass", True) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
