@@ -36,6 +36,12 @@ class DataConfig:
     # -> the checked-in synthetic-regime artefact (eval/embedder.py); the
     # eval report always carries the embedder's provenance string.
     embedder_path: str = ""
+    # --fn blender_setup: directory the user drops addon archives into
+    # (SMPL-X addon, ARP, retarget_bvh, mhx2, Stop-motion-OBJ - several are
+    # licensed, so they cannot be bundled; see viz/blender_setup.py)
+    blender_addons_dir: str = "data/blender_addons"
+    # --fn render_baselines: root of <method_name>/<take_stem>.npz trees
+    baselines_root: str = "data/baselines"
 
 
 @dataclass(frozen=True)

@@ -642,6 +642,132 @@ def task_eval_gesture(cfg):
         (run_dir / "eval_results.json").write_text(json.dumps(results, indent=1))
 
 
+def task_blender_setup(cfg):
+    """Bare Blender -> render/retarget-ready (reference load_in_blender,
+    visualizer.py:398-583): install+enable every addon archive found under
+    data.blender_addons_dir, verify, and say exactly what is still missing
+    and where to obtain it (several addons are licensed; zero egress here)."""
+    from amuse_tpu.viz import blender_setup as bs
+
+    report = bs.setup(cfg.data.blender_addons_dir)
+    report.print()
+    if not report.ok:
+        raise SystemExit(1)
+
+
+def _gt_window_npzs(cfg, out_root: Path, limit: int = 0):
+    """Slice ground-truth MoSh npzs into per-window SMPL-X npzs
+    (render_GT's data leg, visualizer.py:91-177) -> [(stem, wav, [npz...])]."""
+    import numpy as np
+
+    from amuse_tpu.viz.export import write_smplx_npz
+
+    items = []
+    mosh = sorted(Path(cfg.data.mosh_root).glob("*.npz"))
+    if cfg.test.actors:
+        mosh = [p for p in mosh
+                if any(a in p.stem.split("_") for a in cfg.test.actors)]
+    if limit:
+        mosh = mosh[:limit]
+    win = cfg.data.window_frames
+    for npz_path in mosh:
+        d = np.load(npz_path)
+        poses = np.asarray(d["poses"], np.float32)
+        trans = np.asarray(d["trans"], np.float32)
+        n_win = poses.shape[0] // win
+        if n_win == 0:
+            continue
+        subject = npz_path.stem.split("_")[1] if "_" in npz_path.stem else ""
+        paths = []
+        for i in range(n_win):
+            p = out_root / npz_path.stem / f"seq_{i}" / f"{npz_path.stem}.npz"
+            write_smplx_npz(
+                p, poses[i * win : (i + 1) * win].reshape(win, -1, 3),
+                trans[i * win : (i + 1) * win], subject=subject,
+                fps=float(cfg.data.fps),
+            )
+            paths.append(p)
+        wavs = sorted(Path(cfg.data.data_root).glob(f"*/{npz_path.stem}.wav"))
+        items.append((npz_path.stem, wavs[0] if wavs else None, paths))
+    return items
+
+
+def task_render_gt(cfg):
+    """Render ground-truth MoSh windows to mp4 (reference render_GT,
+    visualizer.py:91-177): per-window SMPL-X npz -> Blender render -> audio
+    mux. The npz tree is written even without Blender (it is the product;
+    rendering is optional CPU post-processing)."""
+    from amuse_tpu.viz.export import have_binary, render_windows
+
+    run_dir, logger, _ = _setup(cfg)
+    out_root = run_dir / "GT"
+    items = _gt_window_npzs(cfg, out_root)
+    if not items:
+        print(f"[render_GT] no MoSh npz under {cfg.data.mosh_root}")
+        return
+    n_vid = 0
+    for stem, wav, paths in items:
+        videos = render_windows(paths, wav_path=wav)
+        n_vid += len(videos)
+        print(f"[render_GT] {stem}: {len(paths)} windows, {len(videos)} videos")
+    if not have_binary("blender"):
+        print("[render_GT] blender not on PATH: npz written, no mp4s - run "
+              "--fn blender_setup after installing Blender")
+    print(f"[render_GT] {sum(len(p) for _, _, p in items)} window npz, "
+          f"{n_vid} videos -> {out_root}")
+
+
+def task_render_baselines(cfg):
+    """Render baseline methods' outputs side by side with ground truth
+    (reference render_baselines, visualizer.py:179-296): each
+    data.baselines_root/<method>/<take_stem>.npz is rendered with the same
+    machinery and grid-composited against the GT render of the same take."""
+    from amuse_tpu.viz.export import concat_grid, have_binary, render_windows
+
+    run_dir, logger, _ = _setup(cfg)
+    root = Path(cfg.data.baselines_root)
+    methods = sorted(p for p in root.iterdir() if p.is_dir()) if root.is_dir() else []
+    if not methods:
+        print(f"[render_baselines] no <method> dirs under {root}")
+        return
+    gt_items = {s: (w, p) for s, w, p in _gt_window_npzs(cfg, run_dir / "GT")}
+    import numpy as np
+
+    from amuse_tpu.viz.export import write_smplx_npz
+
+    win = cfg.data.window_frames
+    for method in methods:
+        for npz_path in sorted(method.glob("*.npz")):
+            stem = npz_path.stem
+            d = np.load(npz_path)
+            poses = np.asarray(d["poses"], np.float32)
+            trans = np.asarray(d["trans"], np.float32)
+            n_win = poses.shape[0] // win
+            paths = []
+            for i in range(n_win):
+                p = run_dir / method.name / stem / f"seq_{i}" / f"{stem}.npz"
+                write_smplx_npz(
+                    p, poses[i * win : (i + 1) * win].reshape(win, -1, 3),
+                    trans[i * win : (i + 1) * win],
+                    subject=stem.split("_")[1] if "_" in stem else "",
+                    fps=float(cfg.data.fps),
+                )
+                paths.append(p)
+            wav, gt_paths = gt_items.get(stem, (None, []))
+            base_videos = render_windows(paths, wav_path=wav)
+            gt_videos = render_windows(gt_paths, wav_path=wav) if gt_paths else []
+            for i, (gv, bv) in enumerate(zip(gt_videos, base_videos)):
+                concat_grid(
+                    [gv, bv],
+                    run_dir / method.name / stem / f"seq_{i}" / "gt_vs_baseline.mp4",
+                    cols=2,
+                )
+            print(f"[render_baselines] {method.name}/{stem}: "
+                  f"{len(paths)} windows, {len(base_videos)} videos")
+    if not have_binary("blender"):
+        print("[render_baselines] blender not on PATH: npz written, no mp4s")
+
+
 def task_train_embedder(cfg):
     """Train the EXTERNAL FGD feature extractor on ground-truth windows only
     (never the generative model) and save a single-file npz with provenance.
@@ -769,6 +895,9 @@ def task_bvh2smplx(cfg):
 TASKS = {
     "eval_gesture": task_eval_gesture,
     "train_embedder": task_train_embedder,
+    "blender_setup": task_blender_setup,
+    "render_gt": task_render_gt,
+    "render_baselines": task_render_baselines,
     "train_audio": task_train_audio,
     "train_gesture": task_train_gesture,
     "infer_gesture": task_infer_gesture,
