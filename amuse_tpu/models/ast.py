@@ -70,6 +70,9 @@ class ASTConfig:
     # already recomputes the softmax in VMEM - a second remat replay of the
     # forward kernel is pure waste. Default tracks the fused path.
     remat: bool = False
+    # tanh-approximate GELU: opt-in perf knob (default = exact erf, the
+    # torch/timm parity choice); see ViTBlock
+    gelu_tanh: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -146,7 +149,11 @@ class ViTBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=_VIT_LN_EPS, dtype=cfg.dtype, name="norm2")(x)
         h = dense(d * cfg.mlp_ratio, "mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)  # torch nn.GELU default = exact erf
+        # torch nn.GELU default = exact erf (timm 0.4.5 parity). The tanh
+        # approximation is an opt-in perf knob (VPU erf is a measurable
+        # stage-1 cost, benchmarks/stage1_roofline.py --ablate); max output
+        # deviation of tanh-GELU is ~1e-3 absolute on unit-scale inputs.
+        h = nn.gelu(h, approximate=cfg.gelu_tanh)
         return x + dense(d, "mlp_fc2")(h)
 
 

@@ -79,7 +79,7 @@ def extra_metrics(deadline: float) -> dict:
             raise TimeoutError("bench time budget exhausted")
         from benchmarks.train_steps import bench as lpdm_bench
 
-        dt = lpdm_bench(batch_size=32, monitor=True, vtex=False, iters=5)
+        dt, _ = lpdm_bench(batch_size=32, monitor=True, vtex=False, iters=5)
         out["lpdm_train_step_ms_b32"] = round(dt * 1000, 2)
         out["lpdm_windows_per_sec"] = round(32 / dt, 1)
     except Exception as e:  # noqa: BLE001 - never lose the headline

@@ -38,8 +38,9 @@ def make_batch(rng: np.random.Generator, b: int) -> dict:
 
 
 def bench(
-    batch_size: int, monitor: bool, vtex: bool, iters: int, bf16: bool = False
-) -> float:
+    batch_size: int, monitor: bool, vtex: bool, iters: int, bf16: bool = False,
+    vtex_subsample: int = 0,
+) -> tuple[float, dict]:
     from amuse_tpu.models.denoiser import DenoiserConfig
     from amuse_tpu.models.vae import PriorConfig
 
@@ -52,6 +53,8 @@ def bench(
         if vtex
         else None
     )
+    if model is not None and vtex_subsample:
+        model = smplx_mod.subsample_vertices(model, vtex_subsample)
     state = init_state(jax.random.key(0), prior_cfg, den_cfg, cfg)
     step = make_train_step(prior_cfg, den_cfg, cfg, smplx_model=model, with_monitor=monitor)
     batch = make_batch(np.random.default_rng(0), batch_size)
@@ -63,7 +66,9 @@ def bench(
     for i in range(iters):
         state, logs = step(state, batch, jax.random.key(i))
     np.asarray(logs["total"])
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / iters, {
+        k: float(v) for k, v in logs.items()
+    }
 
 
 def main():
@@ -73,23 +78,27 @@ def main():
     p.add_argument("--vtex", action="store_true")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--vtex-subsample", type=int, default=0,
+                   help="monitor on an n-vertex subset (0 = full mesh); "
+                        "reports vtex-loss agreement vs the subset mean")
     args = p.parse_args()
 
-    dt = bench(args.batch, not args.no_monitor, args.vtex, args.iters, args.bf16)
-    print(
-        json.dumps(
-            {
-                "bench": "lpdm_train_step",
-                "batch_windows": args.batch,
-                "monitor": not args.no_monitor,
-                "vtex": args.vtex,
-                "dtype": "bfloat16" if args.bf16 else "float32",
-                "step_ms": round(dt * 1000, 2),
-                "windows_per_sec": round(args.batch / dt, 1),
-            }
-        ),
-        flush=True,
-    )
+    dt, logs = bench(args.batch, not args.no_monitor, args.vtex, args.iters,
+                     args.bf16, args.vtex_subsample)
+    row = {
+        "bench": "lpdm_train_step",
+        "batch_windows": args.batch,
+        "monitor": not args.no_monitor,
+        "vtex": args.vtex,
+        "vtex_subsample": args.vtex_subsample,
+        "dtype": "bfloat16" if args.bf16 else "float32",
+        "step_ms": round(dt * 1000, 2),
+        "windows_per_sec": round(args.batch / dt, 1),
+    }
+    for k in ("rec_vtex_displacement", "gen_vtex_displacement"):
+        if k in logs:
+            row[k] = round(logs[k], 5)
+    print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -139,3 +139,26 @@ def test_full_dims_import_matches_golden():
             got[k], gold[k], rtol=2e-3, atol=2e-4,
             err_msg=f"full-dims import drifted from golden at {k}",
         )
+
+
+def test_gelu_tanh_knob_close_but_not_identical():
+    """ASTConfig.gelu_tanh (perf knob) stays within ~1e-2 of the exact-erf
+    parity path on a tiny encoder, and actually changes the computation."""
+    import jax
+    import jax.numpy as jnp
+
+    from amuse_tpu.models.ast import ASTConfig, ASTEncoder
+
+    rng_np = np.random.default_rng(0)
+    x = jnp.asarray(rng_np.normal(size=(2, 64, 32)), jnp.float32)
+    kw = dict(input_tdim=64, input_fdim=32, embed_dim=16, depth=2,
+              num_heads=2, feature_dim=12)
+    m_erf = ASTEncoder(ASTConfig(**kw))
+    params = m_erf.init(jax.random.key(0), x)["params"]
+    f_erf = m_erf.apply({"params": params}, x)["feature"]
+    f_tanh = ASTEncoder(ASTConfig(gelu_tanh=True, **kw)).apply(
+        {"params": params}, x
+    )["feature"]
+    d = np.abs(np.asarray(f_erf) - np.asarray(f_tanh))
+    assert d.max() > 0  # the knob does something
+    assert d.max() < 5e-2, d.max()  # and stays close to parity
