@@ -70,6 +70,10 @@ class AudioStageConfig:
     ast_depth: int = 12
     ast_heads: int = 12
     ast_feature_dim: int = 256
+    # tanh-approximate GELU perf knob: 152.9 -> 130.2 ms/quad on v5e
+    # (31.2 -> 36.7% MFU). Default off = exact-erf torch/timm parity
+    # (docs/PARITY.md round-3 roofline).
+    gelu_tanh: bool = False
 
 
 @dataclass(frozen=True)

@@ -36,7 +36,7 @@ def _model_cfgs(cfg):
     ast_cfg = ASTConfig(
         input_tdim=a.target_length, input_fdim=a.num_mel_bins,
         embed_dim=a.ast_embed_dim, depth=a.ast_depth, num_heads=a.ast_heads,
-        feature_dim=a.ast_feature_dim,
+        feature_dim=a.ast_feature_dim, gelu_tanh=a.gelu_tanh,
     )
     return prior_cfg, den_cfg, ast_cfg
 

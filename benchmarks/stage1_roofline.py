@@ -70,8 +70,8 @@ def step_flops(cfg: ASTConfig, b: int) -> float:
     return 3.0 * fwd  # fwd + ~2x bwd
 
 
-def measure(b: int, iters: int, remat: bool) -> float:
-    cfg = ASTConfig(remat=remat)
+def measure(b: int, iters: int, remat: bool, gelu_tanh: bool = False) -> float:
+    cfg = ASTConfig(remat=remat, gelu_tanh=gelu_tanh)
     tcfg = AudioTrainConfig()
     state = init_state(jax.random.key(0), tcfg, ast_cfg=cfg)
     step, _ = make_train_step(tcfg, ast_cfg=cfg)
@@ -113,31 +113,47 @@ def ablate(b: int, iters: int) -> dict:
         "a2_id": jnp.asarray(rng.integers(0, 30, size=(b,)), jnp.int32),
     }
     out = {}
-    state = None
+    params = None
+    # One config at a time: a full train state is params+m+v; two of them
+    # plus the measurement transients exceed the 16 GB HBM.
     for name, cfg in (("erf", ASTConfig()), ("tanh_gelu", ASTConfig(gelu_tanh=True))):
         tcfg = AudioTrainConfig()
         state = init_state(jax.random.key(0), tcfg, ast_cfg=cfg)
         step, _ = make_train_step(tcfg, ast_cfg=cfg)
-        out[f"full_step_ms[{name}]"] = round(
-            _timeit(lambda s=state, st=step: st(s, batch, jax.random.key(1)), iters), 1
-        )
+
+        # Thread the state through the loop (like measure()): holding the old
+        # state while the step emits a new one would keep 3 full states live.
+        def run_step():
+            nonlocal state
+            state, logs = step(state, batch, jax.random.key(1))
+            return logs["total"]
+
+        out[f"full_step_ms[{name}]"] = round(_timeit(run_step, iters), 1)
+        params = state.params
+        del state  # free the optimizer moments before the next config
     out["gelu_saving_ms"] = round(
         out["full_step_ms[erf]"] - out["full_step_ms[tanh_gelu]"], 1
     )
 
-    # AdamW update alone over the full ~400M-param tree: pure HBM traffic
-    # (reads p/g/m/v, writes p/m/v -> lower-bounds the non-matmul tail)
+    # AdamW update alone over the full param tree: pure HBM traffic
+    # (reads p/g/m/v, writes p/m/v -> lower-bounds the non-matmul tail).
+    # Donate everything so the update runs in place instead of doubling HBM.
     opt = optax.adamw(1e-5, weight_decay=5e-7)
-    grads = jax.tree.map(jnp.ones_like, state.params)
-    opt_state = opt.init(state.params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    opt_state = opt.init(params)
 
-    @jax.jit
+    @lambda f: jax.jit(f, donate_argnums=(1, 2))
     def upd(g, os, p):
         u, os2 = opt.update(g, os, p)
         return optax.apply_updates(p, u), os2
 
-    out["optimizer_update_ms"] = round(_timeit(upd, iters, grads, opt_state, state.params), 1)
-    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    def run_upd():
+        nonlocal opt_state, params
+        params, opt_state = upd(grads, opt_state, params)
+        return params
+
+    out["optimizer_update_ms"] = round(_timeit(run_upd, iters), 1)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
     out["n_params_m"] = round(n_params / 1e6, 1)
     return out
 
@@ -147,6 +163,8 @@ def main() -> None:
     ap.add_argument("--batches", default="1,2")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--ablate", action="store_true")
+    ap.add_argument("--gelu-tanh", action="store_true",
+                    help="measure with the tanh-GELU perf knob (non-parity)")
     args = ap.parse_args()
 
     if args.ablate:
@@ -158,11 +176,12 @@ def main() -> None:
     rows = []
     for b in (int(x) for x in args.batches.split(",")):
         remat = b >= 3  # CLI auto-remat policy
-        sec = measure(b, args.iters, remat)
+        sec = measure(b, args.iters, remat, args.gelu_tanh)
         fl = step_flops(ASTConfig(), b)
         achieved = fl / sec / 1e12
         row = {
             "batch_quads": b,
+            "gelu": "tanh" if args.gelu_tanh else "erf",
             "remat": remat,
             "step_ms": round(sec * 1e3, 1),
             "ms_per_quad": round(sec * 1e3 / b, 1),
