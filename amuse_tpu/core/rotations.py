@@ -30,6 +30,7 @@ __all__ = [
     "quaternion_to_axis_angle",
     "axis_angle_to_rotation_6d",
     "rotation_6d_to_axis_angle",
+    "rotation_6d_to_matrix_slabs",
 ]
 
 _EPS = 1e-8
@@ -149,6 +150,30 @@ def rotation_6d_to_matrix(d6: jax.Array) -> jax.Array:
     b2 = a2_proj / jnp.maximum(jnp.linalg.norm(a2_proj, axis=-1, keepdims=True), _EPS)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-2)
+
+
+def rotation_6d_to_matrix_slabs(cols: tuple) -> tuple:
+    """Componentwise Gram-Schmidt: 6 same-shape arrays (the 6D components,
+    each typically a TPU-friendly (N, J) slab) -> 9 arrays, row-major
+    (r00, r01, r02, r10, ..., r22).
+
+    Same math as :func:`rotation_6d_to_matrix` without ever materialising a
+    (..., 3, 3) tensor: trailing size-3 dims tile as (8, 128) on TPU, so any
+    fusion boundary around them pads HBM traffic ~40x. The slab form keeps
+    every intermediate 2D with the large axis last (used by the SMPL-X
+    vertex-monitor path, core/smplx.py::soc_monitor_vertices).
+    """
+    x0, x1, x2, x3, x4, x5 = cols
+    d1 = jnp.maximum(jnp.sqrt(x0 * x0 + x1 * x1 + x2 * x2), _EPS)
+    b10, b11, b12 = x0 / d1, x1 / d1, x2 / d1
+    dot = b10 * x3 + b11 * x4 + b12 * x5
+    u0, u1, u2 = x3 - dot * b10, x4 - dot * b11, x5 - dot * b12
+    d2 = jnp.maximum(jnp.sqrt(u0 * u0 + u1 * u1 + u2 * u2), _EPS)
+    b20, b21, b22 = u0 / d2, u1 / d2, u2 / d2
+    b30 = b11 * b22 - b12 * b21
+    b31 = b12 * b20 - b10 * b22
+    b32 = b10 * b21 - b11 * b20
+    return (b10, b11, b12, b20, b21, b22, b30, b31, b32)
 
 
 def axis_angle_to_rotation_6d(axis_angle: jax.Array) -> jax.Array:

@@ -14,7 +14,8 @@ Parity-critical details reproduced exactly:
   * ``set_alpha_to_one=False``: the final step uses alpha_cumprod[0]
     (not 1.0) as the previous-step alpha
   * ``init_noise_sigma = 1.0`` (initial latents multiplied by 1)
-  * epsilon prediction, no sample clipping, eta = 0 (deterministic DDIM)
+  * epsilon prediction, eta = 0 (deterministic DDIM), and diffusers'
+    DEFAULT clip_sample=True for the DDIM sampler (see ddim_step)
 """
 
 from __future__ import annotations

@@ -12,10 +12,11 @@ whole loop becomes ONE kernel:
   * conditioning tokens and per-step time tokens are precomputed outside
     (they do not depend on the latent), so each step inside the kernel is
     just 9 transformer layers + a fused DDIM update,
-  * the eta=0 epsilon-prediction DDIM step is linear in (x, eps):
-    x' = A_i x + B_i eps with A_i = sqrt(a_prev/a_t),
-    B_i = sqrt(1-a_prev) - A_i sqrt(1-a_t) - two scalars per step,
-    precomputed host-side,
+  * the eta=0 epsilon-prediction DDIM step needs only four per-step
+    scalars precomputed host-side: pred_x0 = (x - sqrt(1-a_t) eps)
+    / sqrt(a_t), clamped to [-1, 1] (diffusers' clip_sample=True default,
+    which the reference inherits - see schedulers.ddim_step), then
+    x' = sqrt(a_prev) pred_x0 + sqrt(1-a_prev) eps,
   * tokens are padded 5 -> 8 rows (f32 sublane tile); attention masks the
     padding columns, all other ops are row-local so the pad rows are inert.
 
@@ -159,9 +160,17 @@ def precompute_conditioning(
     a_t = acp[ts]
     prev = ts - schedule.num_train_timesteps // num_steps
     a_prev = jnp.where(prev >= 0, acp[jnp.maximum(prev, 0)], acp[0])
-    big_a = jnp.sqrt(a_prev / a_t)
-    big_b = jnp.sqrt(1.0 - a_prev) - big_a * jnp.sqrt(1.0 - a_t)
-    coeffs = jnp.stack([big_a, big_b], axis=1)  # (50, 2)
+    # per-step scalars for the (possibly clipped) DDIM update:
+    #   pred_x0 = (x - c1 eps) * c0 ; clip ; x' = c2 pred_x0 + c3 eps
+    coeffs = jnp.stack(
+        [
+            1.0 / jnp.sqrt(a_t),
+            jnp.sqrt(1.0 - a_t),
+            jnp.sqrt(a_prev),
+            jnp.sqrt(1.0 - a_prev),
+        ],
+        axis=1,
+    )  # (50, 4)
     return time_tokens, cond, coeffs, pos[0]
 
 
@@ -224,6 +233,8 @@ def _sampler_kernel(
     *weight_refs,
     out_ref,
     num_steps: int,
+    clip_sample: bool = True,
+    clip_sample_range: float = 1.0,
 ):
     w = PackedDenoiser(*[r[:] for r in weight_refs])
     mask_cols = jax.lax.broadcasted_iota(jnp.int32, (TOKENS,), 0) < REAL_TOKENS
@@ -259,8 +270,11 @@ def _sampler_kernel(
         x = (x - mu) * jax.lax.rsqrt(var + 1e-5)
         x = x * w.final_scale.astype(jnp.float32) + w.final_bias.astype(jnp.float32)
         eps = x[0:1, :]  # token 0
-        ab = coeff_ref[pl.ds(i, 1), :]  # (1, 2)
-        return ab[0, 0] * latent + ab[0, 1] * eps
+        c = coeff_ref[pl.ds(i, 1), :]  # (1, 4)
+        pred_x0 = (latent - c[0, 1] * eps) * c[0, 0]
+        if clip_sample:
+            pred_x0 = jnp.clip(pred_x0, -clip_sample_range, clip_sample_range)
+        return c[0, 2] * pred_x0 + c[0, 3] * eps
 
     latent = x0_ref[:]
     latent = jax.lax.fori_loop(0, num_steps, step, latent)
@@ -273,11 +287,18 @@ def make_fused_sampler(
     schedule: DiffusionSchedule,
     num_steps: int = 50,
     interpret: bool = False,
+    clip_sample: bool = True,
+    clip_sample_range: float = 1.0,
 ):
-    """-> sampler(rng, con, emo, sty) running the whole DDIM loop in-kernel."""
+    """-> sampler(rng, con, emo, sty) running the whole DDIM loop in-kernel.
+
+    ``clip_sample`` mirrors schedulers.ddim_step (diffusers default True)."""
     packed = pack_denoiser(params)
     n_weights = len(packed)
-    kernel = functools.partial(_sampler_kernel, num_steps=num_steps)
+    kernel = functools.partial(
+        _sampler_kernel, num_steps=num_steps,
+        clip_sample=clip_sample, clip_sample_range=clip_sample_range,
+    )
 
     def sampler(rng, con, emo, sty):
         time_tokens, cond, coeffs, pos0 = precompute_conditioning(

@@ -49,7 +49,10 @@ def bench(
     den_cfg = DenoiserConfig(dtype=dtype)
     cfg = GestureTrainConfig(batch_size=batch_size, vtex_displacement=vtex)
     model = (
-        smplx_mod.make_test_model(num_vertices=10475, num_joints=55, num_betas=300)
+        smplx_mod.make_test_model(
+            num_vertices=10475, num_joints=55, num_betas=300,
+            parents=smplx_mod.SMPLX_PARENTS,  # real released tree: FK depth 10
+        )
         if vtex
         else None
     )

@@ -199,3 +199,122 @@ class TestSubsampleVertices:
         np.testing.assert_array_equal(
             np.asarray(self.sub.v_template), np.asarray(s2.v_template)
         )
+
+
+class TestSocMonitorVertices:
+    """The slab-form monitor forward (soc_monitor_vertices) must equal the
+    per-frame forward_batch on every rig shape the train step can see."""
+
+    def _check(self, model):
+        from amuse_tpu.core import motion as motion_mod
+
+        rng = np.random.default_rng(11)
+        b, t = 2, 5
+        motion = jnp.asarray(
+            rng.normal(scale=0.2, size=(b, t, 168)).astype(np.float32)
+        )
+        m6 = motion_mod.axis_angle_to_feats6d(motion)
+        betas = jnp.asarray(rng.normal(scale=0.5, size=(b, 300)).astype(np.float32))
+        soc = smplx.prepare_soc(model)
+        v_soc = smplx.soc_monitor_vertices(model, soc, m6, betas)  # (3, N, V)
+        aa, tr = motion_mod.feats6d_to_axis_angle(m6)
+        nj = model.num_joints
+        n = b * t
+        nb = min(betas.shape[-1], model.shapedirs.shape[-1])
+        fb = jnp.broadcast_to(betas[:, None, :nb], (b, t, nb)).reshape(n, nb)
+        v_ref = smplx.forward_batch(
+            model, aa[:, :, :nj].reshape(n, nj * 3), fb, tr.reshape(n, 3)
+        )["vertices"]
+        np.testing.assert_allclose(
+            np.asarray(v_soc).transpose(1, 2, 0), np.asarray(v_ref),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_smplx_tree_rig(self):
+        self._check(
+            smplx.make_test_model(
+                num_vertices=100, num_joints=55, num_betas=300,
+                parents=smplx.SMPLX_PARENTS,
+            )
+        )
+
+    def test_subsampled_rig(self):
+        m = smplx.make_test_model(
+            num_vertices=200, num_joints=55, num_betas=300,
+            parents=smplx.SMPLX_PARENTS,
+        )
+        self._check(smplx.subsample_vertices(m, 64))
+
+    def test_chain_rig_fewer_joints_than_motion(self):
+        # 6-joint unit-test rig: motion carries 55 joints, the rig uses 6
+        self._check(smplx.make_test_model())
+
+
+class TestLevelScheduledFK:
+    """The depth-level-batched FK must equal naive sequential composition on
+    BRANCHED trees (the published SMPL-X tree), not just the chain rigs the
+    other tests use."""
+
+    @staticmethod
+    def _fk_naive(rot_mats, joints, parents):
+        j = joints.shape[0]
+        world = [None] * j
+        rel_j = np.asarray(joints, np.float64).copy()
+        for i in range(1, j):
+            if parents[i] >= 0:
+                rel_j[i] = joints[i] - joints[parents[i]]
+        for i in range(j):
+            local = np.eye(4)
+            local[:3, :3] = np.asarray(rot_mats[i], np.float64)
+            local[:3, 3] = rel_j[i]
+            world[i] = local if parents[i] < 0 else world[parents[i]] @ local
+        world = np.stack(world)
+        jh = np.concatenate([np.asarray(joints, np.float64), np.zeros((j, 1))], -1)
+        corr = np.einsum("jab,jb->ja", world, jh)
+        rel = world.copy()
+        rel[:, :, 3] -= corr
+        return world[:, :3, 3], rel
+
+    def test_matches_naive_on_smplx_tree_and_chain(self):
+        rng = np.random.default_rng(7)
+        for parents in (smplx.SMPLX_PARENTS, np.arange(-1, 5, dtype=np.int32)):
+            j = len(parents)
+            aa = (0.4 * rng.normal(size=(j, 3))).astype(np.float32)
+            joints = rng.normal(size=(j, 3)).astype(np.float32)
+            rm = axis_angle_to_matrix(jnp.asarray(aa))
+            pj_ref, rel_ref = self._fk_naive(np.asarray(rm), joints, np.asarray(parents))
+            pj, rel = smplx._rigid_transforms(rm, jnp.asarray(joints), parents)
+            np.testing.assert_allclose(np.asarray(pj), pj_ref, atol=3e-5)
+            np.testing.assert_allclose(np.asarray(rel), rel_ref, atol=3e-5)
+
+    def test_full_forward_on_smplx_tree(self):
+        """End-to-end LBS on a 55-joint rig with the real branched tree."""
+        m = smplx.make_test_model(
+            num_vertices=32, num_joints=55, num_betas=8,
+            parents=smplx.SMPLX_PARENTS,
+        )
+        rng = np.random.default_rng(5)
+        poses = jnp.asarray(0.2 * rng.normal(size=(2, 165)), jnp.float32)
+        betas = jnp.asarray(rng.normal(size=(2, 8)), jnp.float32)
+        transl = jnp.asarray(rng.normal(size=(2, 3)), jnp.float32)
+        out = smplx.forward_batch(m, poses, betas, transl)
+        assert out["vertices"].shape == (2, 32, 3)
+        assert bool(jnp.all(jnp.isfinite(out["vertices"])))
+        # rotating only the right wrist's children must leave the left arm
+        # joints fixed: cross-branch isolation through the level schedule
+        m0 = m._replace(posedirs=jnp.zeros_like(m.posedirs))
+        rest = smplx.forward(
+            m0, jnp.zeros(165), jnp.zeros(8), jnp.zeros(3), expression=jnp.zeros(0)
+        )
+        p = jnp.zeros(165).at[40 * 3 : 41 * 3].set(jnp.asarray([0.0, 0.8, 0.0]))
+        posed = smplx.forward(m0, p, jnp.zeros(8), jnp.zeros(3), expression=jnp.zeros(0))
+        left_hand = slice(25, 40)  # left-finger joints: other branch
+        np.testing.assert_allclose(
+            np.asarray(posed["joints"][left_hand]),
+            np.asarray(rest["joints"][left_hand]),
+            atol=1e-5,
+        )
+        moved = np.abs(
+            np.asarray(posed["joints"][41:43]) - np.asarray(rest["joints"][41:43])
+        ).max()
+        assert moved > 1e-3  # right index-finger chain did move

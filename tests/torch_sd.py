@@ -82,7 +82,9 @@ def denoiser_sd(rng, sd: dict, d: int = 128, ff: int = 512, layers: int = 9,
     lin(rng, "emb_proj_con.1", cond, d, sd)
     lin(rng, "emb_proj_emo.1", cond, d, sd)
     lin(rng, "emb_proj_sty.1", cond, d, sd)
-    sd["query_pos.pe"] = rng.normal(scale=0.02, size=(1000, 1, d)).astype(np.float32)
+    # PositionEmbeddingLearned1D default max_len=500 (reference
+    # position_encoding.py:115) - matches DenoiserConfig.max_len
+    sd["query_pos.pe"] = rng.normal(scale=0.02, size=(500, 1, d)).astype(np.float32)
     skip_stack(rng, "encoder", d, ff, layers, sd)
 
 
