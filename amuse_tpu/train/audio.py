@@ -30,9 +30,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from amuse_tpu.models.ast import ASTConfig, ASTDisentangler
+from amuse_tpu.train import fused_adam
 from amuse_tpu.train import losses as L
 
 
@@ -58,22 +58,23 @@ def lr_schedule(cfg: AudioTrainConfig, epoch: int) -> float:
     return cfg.learning_rate * (cfg.lr_decay_gamma**decays)
 
 
-def make_optimizer(cfg: AudioTrainConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: AudioTrainConfig) -> fused_adam.FusedAdam:
     # torch Adam(weight_decay=) adds wd * param to the raw gradient (L2),
     # unlike decoupled AdamW - order matters: decay BEFORE the Adam moment
-    # updates. The lr knob is injected per-epoch via inject_hyperparams.
-    return optax.inject_hyperparams(
-        lambda learning_rate: optax.chain(
-            optax.add_decayed_weights(cfg.weight_decay),
-            optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2),
-            optax.scale(-learning_rate),
-        )
-    )(learning_rate=cfg.learning_rate)
+    # updates. One-pass fused update (train/fused_adam.py): identical math
+    # to the optax add_decayed_weights->scale_by_adam->scale chain this
+    # replaces (tests/test_fused_adam.py pins both that and live
+    # torch.optim.Adam), minus the intermediate update-tree HBM traffic
+    # (benchmarks/optimizer_update.py measures both on the real 424.7M-param
+    # tree). The lr lives in the state (FusedAdamState.lr) for the schedule.
+    return fused_adam.make_fused_adam(
+        b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.weight_decay, mode="l2"
+    )
 
 
 class AudioTrainState(NamedTuple):
     params: dict
-    opt_state: optax.OptState
+    opt_state: fused_adam.FusedAdamState
     step: jax.Array
 
 
@@ -92,7 +93,7 @@ def init_state(
     params = jax.jit(
         lambda r, x: model.init(r, x, cfg.frame_based_feats)
     )(rng, jnp.zeros((1, ast_cfg.input_tdim, ast_cfg.input_fdim)))["params"]
-    opt_state = make_optimizer(cfg).init(params)
+    opt_state = make_optimizer(cfg).init(params, cfg.learning_rate)
     return AudioTrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
 
@@ -223,14 +224,14 @@ def make_train_step(
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state = optimizer.apply(state.opt_state, state.params, grads)
         return AudioTrainState(params, opt_state, state.step + 1), logs
 
     def set_lr(state: AudioTrainState, epoch: int) -> AudioTrainState:
-        """Apply the MultiStepLR schedule by mutating the injected lr."""
-        opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr_schedule(cfg, epoch))
+        """Apply the MultiStepLR schedule to the in-state learning rate."""
+        opt_state = state.opt_state._replace(
+            lr=jnp.asarray(lr_schedule(cfg, epoch), jnp.float32)
+        )
         return state._replace(opt_state=opt_state)
 
     return train_step, set_lr

@@ -27,13 +27,12 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import optax
-
 from amuse_tpu.core import motion as motion_mod
 from amuse_tpu.core import smplx as smplx_mod
 from amuse_tpu.diffusion import add_noise, ddim_sample, make_schedule
 from amuse_tpu.models.denoiser import Denoiser, DenoiserConfig
 from amuse_tpu.models.vae import MotionPrior, PriorConfig
+from amuse_tpu.train import fused_adam
 from amuse_tpu.train import losses as L
 
 
@@ -50,16 +49,19 @@ class GestureTrainConfig:
 
 class TrainState(NamedTuple):
     params: dict  # {"prior": ..., "denoiser": ...}
-    opt_state: optax.OptState
+    opt_state: fused_adam.FusedAdamState
     step: jax.Array
 
 
-def make_optimizer(cfg: GestureTrainConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: GestureTrainConfig) -> fused_adam.FusedAdam:
     # torch.optim.AdamW(lr=lr_base) with DEFAULT kwargs (trainer.py:184):
-    # torch's default weight_decay is 0.01, optax.adamw's is 1e-4 - pass it
-    # explicitly or regularization is silently 100x weaker than the
-    # reference run. betas/eps defaults agree (0.9, 0.999, 1e-8).
-    return optax.adamw(cfg.learning_rate, weight_decay=0.01)
+    # torch's default weight_decay is 0.01 (optax.adamw's would be 1e-4 -
+    # passing it explicitly or regularization is silently 100x weaker than
+    # the reference run). betas/eps defaults agree (0.9, 0.999, 1e-8).
+    # One-pass fused update (train/fused_adam.py): same math as
+    # optax.adamw (+apply_updates), pinned in tests/test_fused_adam.py
+    # against both optax and live torch.optim.AdamW.
+    return fused_adam.make_fused_adam(weight_decay=0.01, mode="decoupled")
 
 
 def init_state(
@@ -85,7 +87,7 @@ def init_state(
         jnp.zeros((1, denoiser_cfg.cond_dim)),
     )["params"]
     params = {"prior": prior_params, "denoiser": den_params}
-    opt_state = make_optimizer(cfg).init(params)
+    opt_state = make_optimizer(cfg).init(params, cfg.learning_rate)
     return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
 
 
@@ -108,23 +110,10 @@ def make_train_step(
     schedule = make_schedule()
     optimizer = make_optimizer(cfg)
     do_vtex = cfg.vtex_displacement and smplx_model is not None
-
-    def vertices(poses_aa, trans, betas):
-        """(B, T, 55, 3) aa + (B, T, 3) + (B, n_betas) -> (B, T, V, 3)."""
-        b, t = poses_aa.shape[:2]
-        # slice to the rig's joint count (full SMPL-X = 55; unit-test rigs
-        # are smaller) - extra pose dims carry no vertex signal for the rig.
-        nj = smplx_model.num_joints
-        flat_poses = poses_aa[:, :, :nj].reshape(b * t, nj * 3)
-        flat_trans = trans.reshape(b * t, 3)
-        # keep as many betas as the model's coefficient dim allows; the
-        # forward pads the remainder (expression dims) with zeros.
-        nb = min(betas.shape[-1], smplx_model.shapedirs.shape[-1])
-        flat_betas = jnp.broadcast_to(
-            betas[:, None, :nb], (b, t, nb)
-        ).reshape(b * t, nb)
-        out = smplx_mod.forward_batch(smplx_model, flat_poses, flat_betas, flat_trans)
-        return out["vertices"].reshape(b, t, -1, 3)
+    # slab-form model tables for the vertex monitors (host-side, once);
+    # numerically equal to forward_batch (tests/test_smplx.py) but keeps
+    # every device tensor 2D - see core/smplx.py::SocTables
+    soc = smplx_mod.prepare_soc(smplx_model) if do_vtex else None
 
     def loss_fn(params, batch, rng):
         r_enc, r_enc2, r_t, r_noise, r_ddim, r_drop = jax.random.split(rng, 6)
@@ -184,15 +173,21 @@ def make_train_step(
                 {"params": sg_params["prior"]}, gen_z, prior_cfg.window, method="decode"
             )
             if do_vtex:
-                ref_aa, ref_tr = motion_mod.feats6d_to_axis_angle(m6)
-                rst_aa, rst_tr = motion_mod.feats6d_to_axis_angle(
-                    jax.lax.stop_gradient(m_rst)
-                )
-                gen_aa, gen_tr = motion_mod.feats6d_to_axis_angle(gen_m_rst)
                 betas = batch["betas"]
-                v_ref = vertices(ref_aa, ref_tr, betas)
-                rec_v = (vertices(rst_aa, rst_tr, betas), v_ref)
-                gen_v = (vertices(gen_aa, gen_tr, betas), v_ref)
+                # slab-form LBS straight from the 6D feats (skips the
+                # 6D->axis-angle->matrix round-trip; core/smplx.py SocTables
+                # explains the TPU layout rationale). Each call returns a
+                # (3, B*T, V) component stack; smooth_l1 treats it
+                # identically to the (N, V, 3) ordering.
+                v_ref = smplx_mod.soc_monitor_vertices(smplx_model, soc, m6, betas)
+                v_rst = smplx_mod.soc_monitor_vertices(
+                    smplx_model, soc, jax.lax.stop_gradient(m_rst), betas
+                )
+                v_gen = smplx_mod.soc_monitor_vertices(
+                    smplx_model, soc, gen_m_rst, betas
+                )
+                rec_v = (v_rst, v_ref)
+                gen_v = (v_gen, v_ref)
 
         return L.lpdm_losses(
             m6, m_rst, mu, logvar, noise, noise_pred, gen_m_rst, rec_v, gen_v
@@ -203,8 +198,7 @@ def make_train_step(
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state = optimizer.apply(state.opt_state, state.params, grads)
         return TrainState(params, opt_state, state.step + 1), logs
 
     return train_step

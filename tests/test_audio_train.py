@@ -76,7 +76,7 @@ class TestAudioTrainStep:
         state = ta.init_state(jax.random.key(0), CFG, jnp.float32, AST_TINY)
         _, set_lr = ta.make_train_step(CFG, jnp.float32, AST_TINY)
         state = set_lr(state, 10)
-        got = float(state.opt_state.hyperparams["learning_rate"])
+        got = float(state.opt_state.lr)
         np.testing.assert_allclose(got, ta.lr_schedule(CFG, 10), rtol=1e-6)
 
 
