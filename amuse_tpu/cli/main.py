@@ -627,6 +627,14 @@ def task_eval_gesture(cfg):
     if emb_path.exists():
         embedder = emb.load(emb_path)
         print(f"[eval] external FGD embedder: {emb_path} ({embedder[2]})")
+    elif cfg.data.embedder_path:
+        # explicitly configured but absent: a config error, not a soft skip -
+        # silently omitting the headline metric would hide the typo
+        raise SystemExit(
+            f"[eval] data.embedder_path={cfg.data.embedder_path} does not "
+            "exist (train one with --fn train_embedder, or unset the knob "
+            "to fall back to the bundled synthetic-regime weights)"
+        )
     else:
         print(f"[eval] no external embedder at {emb_path}; fgd_embedder "
               "omitted (train one with --fn train_embedder)")
@@ -655,13 +663,34 @@ def task_blender_setup(cfg):
         raise SystemExit(1)
 
 
-def _gt_window_npzs(cfg, out_root: Path, limit: int = 0):
-    """Slice ground-truth MoSh npzs into per-window SMPL-X npzs
-    (render_GT's data leg, visualizer.py:91-177) -> [(stem, wav, [npz...])]."""
+def _slice_window_npzs(cfg, npz_path: Path, out_root: Path) -> list:
+    """Slice ONE motion npz into per-window SMPL-X npzs under
+    ``out_root/<stem>/seq_<i>/<stem>.npz`` (the single windowing/layout
+    authority for render_GT and render_baselines) -> [npz path, ...]."""
     import numpy as np
 
     from amuse_tpu.viz.export import write_smplx_npz
 
+    d = np.load(npz_path)
+    poses = np.asarray(d["poses"], np.float32)
+    trans = np.asarray(d["trans"], np.float32)
+    win = cfg.data.window_frames
+    subject = npz_path.stem.split("_")[1] if "_" in npz_path.stem else ""
+    paths = []
+    for i in range(poses.shape[0] // win):
+        p = out_root / npz_path.stem / f"seq_{i}" / f"{npz_path.stem}.npz"
+        write_smplx_npz(
+            p, poses[i * win : (i + 1) * win].reshape(win, -1, 3),
+            trans[i * win : (i + 1) * win], subject=subject,
+            fps=float(cfg.data.fps),
+        )
+        paths.append(p)
+    return paths
+
+
+def _gt_window_npzs(cfg, out_root: Path, limit: int = 0):
+    """Slice ground-truth MoSh npzs into per-window SMPL-X npzs
+    (render_GT's data leg, visualizer.py:91-177) -> [(stem, wav, [npz...])]."""
     items = []
     mosh = sorted(Path(cfg.data.mosh_root).glob("*.npz"))
     if cfg.test.actors:
@@ -669,24 +698,10 @@ def _gt_window_npzs(cfg, out_root: Path, limit: int = 0):
                 if any(a in p.stem.split("_") for a in cfg.test.actors)]
     if limit:
         mosh = mosh[:limit]
-    win = cfg.data.window_frames
     for npz_path in mosh:
-        d = np.load(npz_path)
-        poses = np.asarray(d["poses"], np.float32)
-        trans = np.asarray(d["trans"], np.float32)
-        n_win = poses.shape[0] // win
-        if n_win == 0:
+        paths = _slice_window_npzs(cfg, npz_path, out_root)
+        if not paths:
             continue
-        subject = npz_path.stem.split("_")[1] if "_" in npz_path.stem else ""
-        paths = []
-        for i in range(n_win):
-            p = out_root / npz_path.stem / f"seq_{i}" / f"{npz_path.stem}.npz"
-            write_smplx_npz(
-                p, poses[i * win : (i + 1) * win].reshape(win, -1, 3),
-                trans[i * win : (i + 1) * win], subject=subject,
-                fps=float(cfg.data.fps),
-            )
-            paths.append(p)
         wavs = sorted(Path(cfg.data.data_root).glob(f"*/{npz_path.stem}.wav"))
         items.append((npz_path.stem, wavs[0] if wavs else None, paths))
     return items
@@ -731,31 +746,19 @@ def task_render_baselines(cfg):
         print(f"[render_baselines] no <method> dirs under {root}")
         return
     gt_items = {s: (w, p) for s, w, p in _gt_window_npzs(cfg, run_dir / "GT")}
-    import numpy as np
-
-    from amuse_tpu.viz.export import write_smplx_npz
-
-    win = cfg.data.window_frames
+    gt_rendered: dict = {}  # stem -> videos; GT is rendered ONCE per take,
+    # not once per (method, take) - Blender minutes dominate this task
     for method in methods:
         for npz_path in sorted(method.glob("*.npz")):
             stem = npz_path.stem
-            d = np.load(npz_path)
-            poses = np.asarray(d["poses"], np.float32)
-            trans = np.asarray(d["trans"], np.float32)
-            n_win = poses.shape[0] // win
-            paths = []
-            for i in range(n_win):
-                p = run_dir / method.name / stem / f"seq_{i}" / f"{stem}.npz"
-                write_smplx_npz(
-                    p, poses[i * win : (i + 1) * win].reshape(win, -1, 3),
-                    trans[i * win : (i + 1) * win],
-                    subject=stem.split("_")[1] if "_" in stem else "",
-                    fps=float(cfg.data.fps),
-                )
-                paths.append(p)
+            paths = _slice_window_npzs(cfg, npz_path, run_dir / method.name)
             wav, gt_paths = gt_items.get(stem, (None, []))
             base_videos = render_windows(paths, wav_path=wav)
-            gt_videos = render_windows(gt_paths, wav_path=wav) if gt_paths else []
+            if stem not in gt_rendered:
+                gt_rendered[stem] = (
+                    render_windows(gt_paths, wav_path=wav) if gt_paths else []
+                )
+            gt_videos = gt_rendered[stem]
             for i, (gv, bv) in enumerate(zip(gt_videos, base_videos)):
                 concat_grid(
                     [gv, bv],

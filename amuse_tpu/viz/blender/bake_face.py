@@ -48,7 +48,10 @@ def bake(mesh_name: str, weights_path: str, fps: float = 30.0) -> None:
         d = json.loads(p.read_text())
         names, frames = d["names"], d["frames"]
         index = {b.name: b for b in blocks}
-        targets = [index[n] for n in names if n in index]
+        # Pair each shape key with its OWN column index so a missing name
+        # skips only that column (a filtered zip would shift every later
+        # weight onto the wrong key).
+        pairs = [(index[n], col) for col, n in enumerate(names) if n in index]
         missing = [n for n in names if n not in index]
         if missing:
             print(f"bake_face: {len(missing)} weight names not on mesh: {missing[:5]}")
@@ -56,16 +59,16 @@ def bake(mesh_name: str, weights_path: str, fps: float = 30.0) -> None:
         import numpy as np
 
         frames = np.load(p)["expressions"]
-        targets = blocks[: frames.shape[1]]
+        pairs = list(zip(blocks[: frames.shape[1]], range(frames.shape[1])))
     _clear_animation(obj.data.shape_keys)
     for f_idx, row in enumerate(frames):
         frame = f_idx + 1
-        for block, w in zip(targets, row):
-            block.value = float(w)
+        for block, col in pairs:
+            block.value = float(row[col])
             block.keyframe_insert("value", frame=frame)
     bpy.context.scene.render.fps = int(round(fps))
     bpy.context.scene.frame_end = max(bpy.context.scene.frame_end, len(frames))
-    print(f"bake_face: keyed {len(targets)} shape keys over {len(frames)} frames")
+    print(f"bake_face: keyed {len(pairs)} shape keys over {len(frames)} frames")
 
 
 def dump(mesh_name: str, out_dir: str) -> None:

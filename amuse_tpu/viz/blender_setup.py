@@ -90,10 +90,16 @@ class SetupReport:
 
 
 def _run_blender(blender_exe: str, args: list[str]) -> subprocess.CompletedProcess:
-    return subprocess.run(
-        [blender_exe, "-b", "-P", str(SETUP_SCRIPT), "--", *args],
-        capture_output=True, text=True, timeout=600,
-    )
+    cmd = [blender_exe, "-b", "-P", str(SETUP_SCRIPT), "--", *args]
+    try:
+        return subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    except subprocess.TimeoutExpired as e:  # a wedged Blender must become a
+        # report line, not a traceback (module contract: report, don't abort)
+        out = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        return subprocess.CompletedProcess(
+            cmd, returncode=124, stdout=out,
+            stderr=f"blender timed out after {e.timeout:.0f}s running {args[0]}",
+        )
 
 
 def probe(blender_exe: str = "blender") -> dict | None:

@@ -159,3 +159,115 @@ class TestRenderTasks:
         cli.task_render_baselines(tree)
         outs = sorted(Path(tree.out_dir).glob("*/camn/2_scott_0_9_9/seq_*/*.npz"))
         assert len(outs) == 2
+
+
+class TestReviewRegressions:
+    """Round-3 review findings: misaligned bake weights, wedged-Blender
+    timeout, per-method GT re-render, silently-skipped embedder path."""
+
+    def _run_bake_face(self, tmp_path, weights):
+        """Exec viz/blender/bake_face.py with a stub bpy; return the
+        per-shape-key keyframed value traces."""
+        import sys
+        import types
+
+        class Block:
+            def __init__(self, name):
+                self.name, self.value, self.keys = name, 0.0, {}
+
+            def keyframe_insert(self, _prop, frame):
+                self.keys[frame] = self.value
+
+        blocks = [Block(n) for n in ("Basis", "Exp000", "Exp001", "Exp002")]
+        shape_keys = types.SimpleNamespace(key_blocks=blocks, animation_data=None)
+        mesh_obj = types.SimpleNamespace(
+            type="MESH", data=types.SimpleNamespace(shape_keys=shape_keys))
+        scene = types.SimpleNamespace(
+            render=types.SimpleNamespace(fps=24), frame_end=1)
+        bpy = types.SimpleNamespace(
+            data=types.SimpleNamespace(
+                objects=types.SimpleNamespace(get=lambda n: mesh_obj)),
+            context=types.SimpleNamespace(scene=scene),
+        )
+        wpath = tmp_path / "weights.json"
+        wpath.write_text(json.dumps(weights))
+        src = (Path(__file__).parent.parent
+               / "amuse_tpu/viz/blender/bake_face.py").read_text()
+        old_argv, old_bpy = sys.argv, sys.modules.get("bpy")
+        sys.argv = ["blender", "--", "bake", "Face", str(wpath)]
+        sys.modules["bpy"] = bpy
+        try:
+            exec(compile(src, "bake_face.py", "exec"), {"__name__": "__main__"})
+        finally:
+            sys.argv = old_argv
+            if old_bpy is None:
+                sys.modules.pop("bpy", None)
+            else:
+                sys.modules["bpy"] = old_bpy
+        return {b.name: b.keys for b in blocks}
+
+    def test_bake_face_missing_name_keeps_columns_aligned(self, tmp_path):
+        # Exp001 is in the weights but NOT on the mesh -> its column must be
+        # skipped, not shifted onto Exp002 (the round-3 review finding).
+        keys = self._run_bake_face(tmp_path, {
+            "names": ["Exp000", "ExpMISSING", "Exp002"],
+            "frames": [[0.1, 0.5, 0.9], [0.2, 0.6, 1.0]],
+        })
+        assert keys["Exp000"] == {1: pytest.approx(0.1), 2: pytest.approx(0.2)}
+        assert keys["Exp002"] == {1: pytest.approx(0.9), 2: pytest.approx(1.0)}
+        assert keys["Exp001"] == {}  # never keyed
+
+    def test_run_blender_timeout_is_reported_not_raised(self, tmp_path, monkeypatch):
+        exe = tmp_path / "blender"
+        exe.write_text("#!/bin/sh\nsleep 5\n")
+        exe.chmod(0o755)
+        monkeypatch.setattr(bs.subprocess, "run",
+                            lambda *a, **k: (_ for _ in ()).throw(
+                                bs.subprocess.TimeoutExpired(a[0], 600)))
+        rc = bs._run_blender(str(exe), ["probe"])
+        assert rc.returncode == 124
+        assert "timed out" in rc.stderr
+
+    def test_render_baselines_renders_gt_once_per_take(self, tmp_path, monkeypatch):
+        from amuse_tpu.cli import main as cli
+        from amuse_tpu.cli.config import load_config
+        from amuse_tpu.viz import export
+
+        rng = np.random.default_rng(0)
+        mosh = tmp_path / "mosh"
+        mosh.mkdir()
+        np.savez(mosh / "2_scott_0_9_9.npz",
+                 poses=(0.2 * rng.normal(size=(60, 165))).astype(np.float32),
+                 trans=(0.1 * rng.normal(size=(60, 3))).astype(np.float32))
+        for method in ("camn", "mdm", "trimodal"):
+            d = tmp_path / "baselines" / method
+            d.mkdir(parents=True)
+            np.savez(d / "2_scott_0_9_9.npz",
+                     poses=(0.2 * rng.normal(size=(60, 165))).astype(np.float32),
+                     trans=(0.1 * rng.normal(size=(60, 3))).astype(np.float32))
+        cfg = load_config(None, {
+            "data": {"mosh_root": str(mosh), "data_root": str(tmp_path / "beat"),
+                     "baselines_root": str(tmp_path / "baselines"),
+                     "window_frames": 30},
+            "out_dir": str(tmp_path / "runs"), "debug": True,
+        })
+        calls = []
+        monkeypatch.setattr(export, "render_windows",
+                            lambda paths, wav_path=None: calls.append(
+                                tuple(str(p) for p in paths)) or [])
+        cli.task_render_baselines(cfg)
+        gt_calls = [c for c in calls if any("/GT/" in p for p in c)]
+        assert len(gt_calls) == 1  # 3 methods, same take -> GT rendered once
+
+    def test_eval_gesture_explicit_missing_embedder_is_fatal(self, tmp_path):
+        from amuse_tpu.cli import main as cli
+        from amuse_tpu.cli.config import load_config
+
+        cfg = load_config(None, {
+            "data": {"embedder_path": str(tmp_path / "nope.npz"),
+                     "cache_dir": str(tmp_path / "cache"),
+                     "smplx_model_dir": str(tmp_path)},
+            "out_dir": str(tmp_path / "runs"), "debug": True,
+        })
+        with pytest.raises(SystemExit, match="embedder_path"):
+            cli.task_eval_gesture(cfg)
