@@ -688,11 +688,17 @@ def _slice_window_npzs(cfg, npz_path: Path, out_root: Path) -> list:
     return paths
 
 
-def _gt_window_npzs(cfg, out_root: Path, limit: int = 0):
+def _gt_window_npzs(cfg, out_root: Path, limit: int = 0, stems=None):
     """Slice ground-truth MoSh npzs into per-window SMPL-X npzs
-    (render_GT's data leg, visualizer.py:91-177) -> [(stem, wav, [npz...])]."""
+    (render_GT's data leg, visualizer.py:91-177) -> [(stem, wav, [npz...])].
+
+    ``stems``: restrict to these take stems (render_baselines only needs GT
+    for takes a baseline actually covers; slicing the whole mosh_root would
+    write thousands of unread npzs)."""
     items = []
     mosh = sorted(Path(cfg.data.mosh_root).glob("*.npz"))
+    if stems is not None:
+        mosh = [p for p in mosh if p.stem in stems]
     if cfg.test.actors:
         mosh = [p for p in mosh
                 if any(a in p.stem.split("_") for a in cfg.test.actors)]
@@ -745,7 +751,11 @@ def task_render_baselines(cfg):
     if not methods:
         print(f"[render_baselines] no <method> dirs under {root}")
         return
-    gt_items = {s: (w, p) for s, w, p in _gt_window_npzs(cfg, run_dir / "GT")}
+    covered = {p.stem for m in methods for p in m.glob("*.npz")}
+    gt_items = {
+        s: (w, p)
+        for s, w, p in _gt_window_npzs(cfg, run_dir / "GT", stems=covered)
+    }
     gt_rendered: dict = {}  # stem -> videos; GT is rendered ONCE per take,
     # not once per (method, take) - Blender minutes dominate this task
     for method in methods:

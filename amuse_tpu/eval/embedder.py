@@ -117,18 +117,18 @@ def save(path, params: dict, cfg: EmbedderConfig, provenance: str) -> None:
 
 
 def load(path) -> tuple[dict, EmbedderConfig, str]:
-    d = np.load(path)
-    meta = json.loads(bytes(d["__meta__"]).decode())
-    cfg_d = meta["config"]
-    cfg_d["channels"] = tuple(cfg_d["channels"])
-    cfg = EmbedderConfig(**cfg_d)
-    params: dict = {}
-    for key in d.files:
-        if key == "__meta__":
-            continue
-        node = params
-        parts = key.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(d[key])
+    with np.load(path) as d:  # close the NpzFile handle deterministically
+        meta = json.loads(bytes(d["__meta__"]).decode())
+        cfg_d = meta["config"]
+        cfg_d["channels"] = tuple(cfg_d["channels"])
+        cfg = EmbedderConfig(**cfg_d)
+        params: dict = {}
+        for key in d.files:
+            if key == "__meta__":
+                continue
+            node = params
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(d[key])
     return params, cfg, meta["provenance"]

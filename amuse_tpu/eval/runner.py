@@ -76,6 +76,14 @@ def evaluate_cache(
     real_emb, gen_emb = [], []
     ape_vals, ave_vals, beat_scores = [], [], []
     fk = make_fk(smplx_model) if smplx_model is not None else None
+    emb_fn = None
+    if embedder is not None:
+        from amuse_tpu.eval import embedder as emb_mod
+
+        eparams, ecfg, _ = embedder
+        # jit once outside the batch loop: the conv stack would otherwise
+        # dispatch op-by-op twice per batch (the slowest leg of the eval)
+        emb_fn = jax.jit(lambda m: emb_mod.embed(eparams, ecfg, m))
 
     for start in range(0, n - batch_size + 1, batch_size):
         items = [cache[i] for i in range(start, start + batch_size)]
@@ -99,17 +107,15 @@ def evaluate_cache(
 
         gen_aa, gen_tr = pipe.decode_motion(latents)
         ref_aa, ref_tr = motion_mod.feats6d_to_axis_angle(m6)
-        if embedder is not None:
+        if emb_fn is not None:
             from amuse_tpu.core.rotations import axis_angle_to_rotation_6d
-            from amuse_tpu.eval import embedder as emb_mod
 
-            eparams, ecfg, _ = embedder
             g6 = axis_angle_to_rotation_6d(gen_aa).reshape(
                 gen_aa.shape[0], gen_aa.shape[1], -1
             )
             gen_m6 = jnp.concatenate([g6, gen_tr], axis=-1)
-            real_emb.append(np.asarray(emb_mod.embed(eparams, ecfg, m6)))
-            gen_emb.append(np.asarray(emb_mod.embed(eparams, ecfg, gen_m6)))
+            real_emb.append(np.asarray(emb_fn(m6)))
+            gen_emb.append(np.asarray(emb_fn(gen_m6)))
         if smplx_model is not None:
             from amuse_tpu.data.cache import betas_for_actor_ids
 

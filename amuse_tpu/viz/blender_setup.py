@@ -121,7 +121,10 @@ def _as_installable_zip(archive: Path, tmp: Path) -> Path | None:
     if archive.name.endswith((".tar.xz", ".tar.gz", ".tar")):
         out_dir = tmp / archive.name.split(".")[0]
         with tarfile.open(archive) as tf:
-            tf.extractall(out_dir, filter="data")
+            try:
+                tf.extractall(out_dir, filter="data")
+            except TypeError:  # filter= needs >=3.10.12/3.11.4/3.12
+                tf.extractall(out_dir)  # noqa: S202 - bundled addon archives
         roots = [p for p in out_dir.iterdir() if p.is_dir()]
         root = roots[0] if len(roots) == 1 else out_dir
         zpath = tmp / (root.name + ".zip")

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -26,18 +25,13 @@ import numpy as np
 
 from amuse_tpu.ops.attention import mha_fused_train, mha_reference
 
+try:  # run as `python benchmarks/x.py` or `python -m benchmarks.x`
+    from _timing import timeit_ms
+except ImportError:
+    from benchmarks._timing import timeit_ms
+
 B, H, S, D = 4, 12, 1214, 64
 EMB = H * D
-
-
-def timeit(fn, iters, *args) -> float:
-    r = fn(*args)
-    np.asarray(jax.tree.leaves(r)[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*args)
-    np.asarray(jax.tree.leaves(r)[0])
-    return (time.perf_counter() - t0) / iters * 1e3
 
 
 def chain(attn, x0):
@@ -86,13 +80,13 @@ def main() -> None:
 
     out = {}
     f, x0 = chain(mha_fused_train, x)
-    out["kernel_shaped"] = round(timeit(f, args.iters, x0), 2)
+    out["kernel_shaped"] = round(timeit_ms(f, args.iters, x0), 2)
     f, x0 = chain(mha_fused_train, xp)
-    out["kernel_prepad"] = round(timeit(f, args.iters, x0), 2)
+    out["kernel_prepad"] = round(timeit_ms(f, args.iters, x0), 2)
     f = chain_glued(qkv)
-    out["kernel_glued"] = round(timeit(f, args.iters, qkv), 2)
+    out["kernel_glued"] = round(timeit_ms(f, args.iters, qkv), 2)
     f, x0 = chain(mha_reference, x)
-    out["xla_shaped"] = round(timeit(f, args.iters, x0), 2)
+    out["xla_shaped"] = round(timeit_ms(f, args.iters, x0), 2)
     print(json.dumps(out), flush=True)
 
 

@@ -7,9 +7,14 @@ variants attack exactly that:
   v1_divfold   - forward: drop the (BQ, S) division pass; normalize the
                  (BQ, D) output rows instead. backward: work with
                  unnormalized e and row-sums r (algebraically identical).
-  v2_lse       - forward also outputs per-row (max, sum) stats; backward
-                 skips its max/sum reduction recompute (exp of shifted
-                 scores only).
+  v0_dotsonly  - softmax stripped entirely (NOT parity): the MXU share.
+  v3_headloop  - several heads per program, unrolled, for MXU/VPU overlap.
+  v4_bf16dots  - bf16 dot inputs with f32 accumulation everywhere.
+  v5_fullq_fwd - forward processes the whole padded S as one q-block.
+
+Verdict (v5e, 12-call chains, fwd+bwd): the kernel is dot-bound; only the
+division fold (~4%) and bf16 dot inputs (~5%) win, and both are now IN
+ops/attention.py. Kept for the measurement trail.
 
 Each variant is parity-checked against mha_reference before timing.
 
@@ -22,7 +27,6 @@ import argparse
 import functools
 import json
 import math
-import time
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +35,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from amuse_tpu.ops.attention import mha_fused_train, mha_reference
+
+try:  # run as `python benchmarks/x.py` or `python -m benchmarks.x`
+    from _timing import timeit_ms
+except ImportError:
+    from benchmarks._timing import timeit_ms
 
 B, H, S, D = 4, 12, 1214, 64
 BQ = 640
@@ -465,16 +474,6 @@ def make_v5():
     return mha
 
 
-def timeit(fn, iters, *args) -> float:
-    r = fn(*args)
-    np.asarray(jax.tree.leaves(r)[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*args)
-    np.asarray(jax.tree.leaves(r)[0])
-    return (time.perf_counter() - t0) / iters * 1e3
-
-
 def chain(attn):
     def loss(x):
         q = x
@@ -532,18 +531,18 @@ def main() -> None:
                       "grad_scale": g_scale}), flush=True)
 
     out = {}
-    out["baseline"] = round(timeit(chain(mha_fused_train), args.iters, x), 2)
-    out["v1_divfold"] = round(timeit(chain(v1), args.iters, x), 2)
-    out["v0_dotsonly"] = round(timeit(chain(v0), args.iters, x), 2)
-    out["v3_headloop"] = round(timeit(chain(v3), args.iters, x), 2)
-    out["v4_bf16dots"] = round(timeit(chain(v4), args.iters, x), 2)
+    out["baseline"] = round(timeit_ms(chain(mha_fused_train), args.iters, x), 2)
+    out["v1_divfold"] = round(timeit_ms(chain(v1), args.iters, x), 2)
+    out["v0_dotsonly"] = round(timeit_ms(chain(v0), args.iters, x), 2)
+    out["v3_headloop"] = round(timeit_ms(chain(v3), args.iters, x), 2)
+    out["v4_bf16dots"] = round(timeit_ms(chain(v4), args.iters, x), 2)
     v5 = make_v5()
     o5 = v5(x, x, x)
     o5_dev = float(jnp.max(jnp.abs(
         mha_reference(x, x, x).astype(jnp.float32) - o5.astype(jnp.float32)
     )))
     out["v5_out_dev"] = o5_dev
-    out["v5_fullq_fwd"] = round(timeit(chain(v5), args.iters, x), 2)
+    out["v5_fullq_fwd"] = round(timeit_ms(chain(v5), args.iters, x), 2)
     print(json.dumps(out), flush=True)
 
 

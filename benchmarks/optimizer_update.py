@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -24,15 +23,10 @@ import optax
 from amuse_tpu.train.audio import AudioTrainConfig, init_state, make_optimizer
 from amuse_tpu.train.fused_adam import make_fused_adam
 
-
-def _timeit(fn, iters) -> float:
-    r = fn()
-    np.asarray(jax.tree.leaves(r)[0].ravel()[0:1])  # sync through the tunnel
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn()
-    np.asarray(jax.tree.leaves(r)[0].ravel()[0:1])
-    return (time.perf_counter() - t0) / iters * 1e3
+try:  # run as `python benchmarks/x.py` or `python -m benchmarks.x`
+    from _timing import timeit_ms
+except ImportError:
+    from benchmarks._timing import timeit_ms
 
 
 def main() -> None:
@@ -64,7 +58,7 @@ def main() -> None:
         params, opt_state = upd(grads, opt_state, params)
         return params
 
-    out["optax_chain_ms"] = round(_timeit(run_optax, args.iters), 1)
+    out["optax_chain_ms"] = round(timeit_ms(run_optax, args.iters), 1)
     del opt_state
 
     # --- B) fused one-pass equivalent (same math, tests/test_fused_adam) --
@@ -83,7 +77,7 @@ def main() -> None:
         params, fstate = fupd(fstate, params, grads)
         return params
 
-    out["fused_ms"] = round(_timeit(run_fused, args.iters), 1)
+    out["fused_ms"] = round(timeit_ms(run_fused, args.iters), 1)
     out["speedup"] = round(out["optax_chain_ms"] / out["fused_ms"], 2)
     print(json.dumps(out))
 

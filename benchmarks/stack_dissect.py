@@ -28,7 +28,6 @@ from __future__ import annotations
 import argparse
 import functools
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +35,11 @@ import numpy as np
 from flax import linen as nn
 
 from amuse_tpu.ops.attention import mha_fused_train, mha_reference
+
+try:  # run as `python benchmarks/x.py` or `python -m benchmarks.x`
+    from _timing import timeit_ms
+except ImportError:
+    from benchmarks._timing import timeit_ms
 
 D = 768
 HEADS = 12
@@ -118,16 +122,6 @@ class GemmFloor(nn.Module):
         return x
 
 
-def timeit(fn, iters, *args) -> float:
-    r = fn(*args)
-    np.asarray(jax.tree.leaves(r)[0])  # sync through the tunnel
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*args)
-    np.asarray(jax.tree.leaves(r)[0])
-    return (time.perf_counter() - t0) / iters * 1e3
-
-
 def fwd_bwd_ms(model, x, iters) -> float:
     params = model.init(jax.random.key(0), x)
 
@@ -140,7 +134,7 @@ def fwd_bwd_ms(model, x, iters) -> float:
         l, g = jax.value_and_grad(loss)(p)
         return l, g
 
-    return timeit(run, iters, params, x)
+    return timeit_ms(run, iters, params, x)
 
 
 def main() -> None:
@@ -178,7 +172,7 @@ def main() -> None:
         t = jnp.moveaxis(q, 2, 1)
         return jnp.moveaxis(t, 1, 2)
 
-    per_roundtrip = timeit(trans, args.iters * 5, q)
+    per_roundtrip = timeit_ms(trans, args.iters * 5, q)
     out["transpose_tax_stack_fwd"] = round(per_roundtrip * 2 * DEPTH, 2)
     print(json.dumps(out), flush=True)
 

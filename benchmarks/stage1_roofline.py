@@ -34,6 +34,11 @@ import numpy as np
 from amuse_tpu.models.ast import ASTConfig
 from amuse_tpu.train.audio import AudioTrainConfig, init_state, make_train_step
 
+try:  # run as `python benchmarks/x.py` or `python -m benchmarks.x`
+    from _timing import timeit_ms
+except ImportError:
+    from benchmarks._timing import timeit_ms
+
 PEAK_BF16_TFLOPS = {
     "TPU v5 lite": 197.0,  # v5e
     "TPU v4": 275.0,
@@ -91,16 +96,6 @@ def measure(b: int, iters: int, remat: bool, gelu_tanh: bool = False) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def _timeit(fn, iters, *a) -> float:
-    r = fn(*a)
-    np.asarray(jax.tree.leaves(r)[0])  # full sync through the tunnel
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*a)
-    np.asarray(jax.tree.leaves(r)[0])
-    return (time.perf_counter() - t0) / iters * 1e3
-
-
 def ablate(b: int, iters: int) -> dict:
     """Decompose the batch-1 step: erf vs tanh GELU, optimizer-only cost."""
     import optax
@@ -128,7 +123,7 @@ def ablate(b: int, iters: int) -> dict:
             state, logs = step(state, batch, jax.random.key(1))
             return logs["total"]
 
-        out[f"full_step_ms[{name}]"] = round(_timeit(run_step, iters), 1)
+        out[f"full_step_ms[{name}]"] = round(timeit_ms(run_step, iters), 1)
         params = state.params
         del state  # free the optimizer moments before the next config
     out["gelu_saving_ms"] = round(
@@ -152,7 +147,7 @@ def ablate(b: int, iters: int) -> dict:
         params, opt_state = upd(grads, opt_state, params)
         return params
 
-    out["optimizer_update_ms"] = round(_timeit(run_upd, iters), 1)
+    out["optimizer_update_ms"] = round(timeit_ms(run_upd, iters), 1)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     out["n_params_m"] = round(n_params / 1e6, 1)
     return out

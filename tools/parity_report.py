@@ -119,10 +119,12 @@ def main(argv=None) -> int:
                                   jnp.asarray(rt.reshape(1, -1, 3)), betas))
             report["joint_pos_mae_m"] = float(np.abs(j_gen - j_ref).mean())
             report["joint_pos_max_m"] = float(np.abs(j_gen - j_ref).max())
+        # gate on EVERY reported deviation metric, max included: a
+        # localized divergence (one joint, a few frames) must fail the
+        # report even when frame-averaged MAE dilutes it under tol.
         worst = max(
-            report.get("pose_mae_rad", 0.0),
-            report.get("trans_mae_m", 0.0),
-            report.get("joint_pos_mae_m", 0.0),
+            v for k, v in report.items()
+            if isinstance(v, float) and (k.endswith(("_rad", "_m")))
         )
         report["pass"] = bool(worst <= args.tol)
 
