@@ -259,6 +259,37 @@ class TestReviewRegressions:
         gt_calls = [c for c in calls if any("/GT/" in p for p in c)]
         assert len(gt_calls) == 1  # 3 methods, same take -> GT rendered once
 
+    def test_render_baselines_slices_gt_only_for_covered_takes(
+        self, tmp_path, monkeypatch
+    ):
+        # round-3 review finding: a 100-take mosh_root vs a 2-take baseline
+        # must not slice (and write) GT windows for the other 98 takes.
+        from amuse_tpu.cli import main as cli
+        from amuse_tpu.cli.config import load_config
+
+        rng = np.random.default_rng(0)
+        mosh = tmp_path / "mosh"
+        mosh.mkdir()
+        for stem in ("2_scott_0_9_9", "2_scott_0_10_10", "9_miranda_0_9_9"):
+            np.savez(mosh / f"{stem}.npz",
+                     poses=(0.2 * rng.normal(size=(60, 165))).astype(np.float32),
+                     trans=(0.1 * rng.normal(size=(60, 3))).astype(np.float32))
+        d = tmp_path / "baselines" / "camn"
+        d.mkdir(parents=True)
+        np.savez(d / "2_scott_0_9_9.npz",  # baseline covers ONE take
+                 poses=(0.2 * rng.normal(size=(60, 165))).astype(np.float32),
+                 trans=(0.1 * rng.normal(size=(60, 3))).astype(np.float32))
+        cfg = load_config(None, {
+            "data": {"mosh_root": str(mosh), "data_root": str(tmp_path / "beat"),
+                     "baselines_root": str(tmp_path / "baselines"),
+                     "window_frames": 30},
+            "out_dir": str(tmp_path / "runs"), "debug": True,
+        })
+        monkeypatch.setenv("PATH", str(tmp_path))  # no blender/ffmpeg
+        cli.task_render_baselines(cfg)
+        gt = sorted(Path(cfg.out_dir).glob("*/GT/*/"))
+        assert [p.name for p in gt] == ["2_scott_0_9_9"]
+
     def test_eval_gesture_explicit_missing_embedder_is_fatal(self, tmp_path):
         from amuse_tpu.cli import main as cli
         from amuse_tpu.cli.config import load_config

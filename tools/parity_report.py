@@ -42,6 +42,43 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def metric_diff(poses, trans, ref_poses, ref_trans, tol: float,
+                smplx_path: str = "") -> dict:
+    """Deviation metrics + the pass/fail gate for a generated-vs-reference
+    motion pair. Gates on EVERY reported deviation metric, max metrics
+    included: a localized divergence (one joint, a few frames) must fail
+    even when frame-averaged MAE dilutes it under tol."""
+    rp = np.asarray(ref_poses, np.float32).reshape(poses.shape)
+    rt = np.asarray(ref_trans, np.float32).reshape(trans.shape)
+    report: dict = {
+        "pose_mae_rad": float(np.abs(poses - rp).mean()),
+        "pose_max_rad": float(np.abs(poses - rp).max()),
+        "trans_mae_m": float(np.abs(trans - rt).mean()),
+        "trans_max_m": float(np.abs(trans - rt).max()),
+    }
+    if smplx_path:
+        import jax.numpy as jnp
+
+        from amuse_tpu.core import smplx as smplx_mod
+        from amuse_tpu.eval.runner import make_fk
+
+        model = smplx_mod.load_model(Path(smplx_path))
+        fk = make_fk(model)
+        betas = jnp.zeros((1, model.shapedirs.shape[-1]))
+        j_gen = np.asarray(fk(jnp.asarray(poses.reshape(1, -1, 55, 3)),
+                              jnp.asarray(trans.reshape(1, -1, 3)), betas))
+        j_ref = np.asarray(fk(jnp.asarray(rp.reshape(1, -1, 55, 3)),
+                              jnp.asarray(rt.reshape(1, -1, 3)), betas))
+        report["joint_pos_mae_m"] = float(np.abs(j_gen - j_ref).mean())
+        report["joint_pos_max_m"] = float(np.abs(j_gen - j_ref).max())
+    worst = max(
+        v for k, v in report.items()
+        if isinstance(v, float) and k.endswith(("_rad", "_m"))
+    )
+    report["pass"] = bool(worst <= tol)
+    return report
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--ckpt-dir", required=True, help="released AMUSE .pt dir")
@@ -99,34 +136,10 @@ def main(argv=None) -> int:
 
     if args.reference_npz:
         ref = np.load(args.reference_npz)
-        rp = np.asarray(ref["poses"], np.float32).reshape(poses.shape[0], -1, 55, 3) \
-            if ref["poses"].ndim != 4 else np.asarray(ref["poses"], np.float32)
-        rp = rp.reshape(poses.shape)
-        rt = np.asarray(ref["trans"], np.float32).reshape(trans.shape)
-        report["pose_mae_rad"] = float(np.abs(poses - rp).mean())
-        report["pose_max_rad"] = float(np.abs(poses - rp).max())
-        report["trans_mae_m"] = float(np.abs(trans - rt).mean())
-        if args.smplx:
-            from amuse_tpu.core import smplx as smplx_mod
-            from amuse_tpu.eval.runner import make_fk
-
-            model = smplx_mod.load_model(Path(args.smplx))
-            fk = make_fk(model)
-            betas = jnp.zeros((1, model.shapedirs.shape[-1]))
-            j_gen = np.asarray(fk(jnp.asarray(poses.reshape(1, -1, 55, 3)),
-                                  jnp.asarray(trans.reshape(1, -1, 3)), betas))
-            j_ref = np.asarray(fk(jnp.asarray(rp.reshape(1, -1, 55, 3)),
-                                  jnp.asarray(rt.reshape(1, -1, 3)), betas))
-            report["joint_pos_mae_m"] = float(np.abs(j_gen - j_ref).mean())
-            report["joint_pos_max_m"] = float(np.abs(j_gen - j_ref).max())
-        # gate on EVERY reported deviation metric, max included: a
-        # localized divergence (one joint, a few frames) must fail the
-        # report even when frame-averaged MAE dilutes it under tol.
-        worst = max(
-            v for k, v in report.items()
-            if isinstance(v, float) and (k.endswith(("_rad", "_m")))
+        report.update(
+            metric_diff(poses, trans, ref["poses"], ref["trans"], args.tol,
+                        smplx_path=args.smplx)
         )
-        report["pass"] = bool(worst <= args.tol)
 
     Path(args.out).write_text(json.dumps(report, indent=1))
     print(json.dumps(report, indent=1))
