@@ -21,6 +21,21 @@ def _model_cfgs(cfg):
     from amuse_tpu.models.vae import PriorConfig
 
     g, a = cfg.gesture, cfg.audio
+    if g.smplx_rep not in ("6D", "3D"):
+        raise ValueError(f"gesture.smplx_rep must be '6D' or '3D', got {g.smplx_rep!r}")
+    if g.skip_trans and g.smplx_rep != "3D":
+        # reference denoiser.py:26-27 asserts skip_trans is 3D-only
+        raise ValueError("gesture.skip_trans requires gesture.smplx_rep='3D'")
+    if g.train_upper_body:
+        # 3D-only upstream (denoiser.py:31), and its joint-drop reshape
+        # (trainer.py:378-380: (j c)-flattened poses viewed as (3, 55) and
+        # column-indexed) scrambles joints rather than selecting them - a
+        # dead/broken reference path we refuse rather than reproduce.
+        raise NotImplementedError(
+            "gesture.train_upper_body reproduces a broken reference path "
+            "(trainer.py:378-380 misindexes the flattened joint axis); "
+            "train with smplx_rep='3D' instead"
+        )
     nfeats = 333 if g.smplx_rep == "6D" else 168
     if g.skip_trans:
         nfeats -= 3
@@ -57,6 +72,8 @@ def _make_pipeline(cfg):
         params, prior_cfg, den_cfg, ast_cfg, dtype,
         num_inference_steps=cfg.gesture.num_inference_steps,
         frame_based_feats=cfg.audio.frame_based_feats,
+        smplx_rep=cfg.gesture.smplx_rep,
+        skip_trans=cfg.gesture.skip_trans,
     )
 
 
@@ -326,6 +343,8 @@ def task_train_gesture(cfg):
         monitor_every=g.monitor_every,
         vtex_displacement=g.vtex_displacement,
         checkpoint_every=g.model_save_freq,
+        smplx_rep=g.smplx_rep,
+        skip_trans=g.skip_trans,
     )
     smplx_path = Path(cfg.data.smplx_model_dir) / "SMPLX_NEUTRAL.npz"
     smplx_model = smplx_mod.load_model(smplx_path) if smplx_path.exists() else None

@@ -46,6 +46,42 @@ def feats3d_split(feats: jax.Array) -> tuple[jax.Array, jax.Array]:
     return poses.reshape(poses.shape[:-1] + (NUM_JOINTS, 3)), trans
 
 
+def featurize(motion: jax.Array, rep: str = "6D", skip_trans: bool = False) -> jax.Array:
+    """Raw (..., T, 168) axis-angle+trans -> the configured feature space.
+
+    The reference trains the prior/diffusion stack on either 6D+trans (333,
+    trainer.py:363-369) or raw axis-angle (smplx_rep="3D": 168, or 165 with
+    skip_trans - trainer.py:373-376, denoiser.py:24-27).
+    """
+    if rep == "6D":
+        if skip_trans:  # denoiser.py:27 asserts skip_trans is 3D-only
+            raise ValueError("skip_trans is only valid with smplx_rep='3D'")
+        return axis_angle_to_feats6d(motion)
+    if rep != "3D":
+        raise ValueError(f"smplx_rep must be '6D' or '3D', got {rep!r}")
+    return motion[..., :-3] if skip_trans else motion
+
+
+def defeaturize(
+    feats: jax.Array, rep: str = "6D", skip_trans: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Feature space -> (poses (..., T, 55, 3) axis-angle, trans (..., T, 3)).
+
+    With skip_trans the translation was never modelled: returns zeros (the
+    reference's own 3D split at trainer.py:429-431 slices F[..., :-3]/-3:
+    even when skip_trans dropped the translation, silently misreading joint
+    rotations as metres - we return the sane zero translation instead).
+    """
+    if rep == "6D":
+        return feats6d_to_axis_angle(feats)
+    if rep != "3D":
+        raise ValueError(f"smplx_rep must be '6D' or '3D', got {rep!r}")
+    if skip_trans:
+        poses = feats.reshape(feats.shape[:-1] + (NUM_JOINTS, 3))
+        return poses, jnp.zeros(feats.shape[:-1] + (3,), feats.dtype)
+    return feats3d_split(feats)
+
+
 def zero_jaw(poses: jax.Array) -> jax.Array:
     """Zero the jaw joint before export (reference: visualizer.py:196).
 

@@ -78,8 +78,27 @@ def ddim_timesteps(
     num_inference_steps: int = 50,
     steps_offset: int = 1,
 ) -> jax.Array:
-    """Descending inference timesteps, diffusers "leading" spacing + offset."""
-    step_ratio = schedule.num_train_timesteps // num_inference_steps
+    """Descending inference timesteps, diffusers "leading" spacing + offset.
+
+    Validates num_inference_steps <= num_train_timesteps like diffusers'
+    set_timesteps (scheduling_ddim.py): beyond it step_ratio floors to 0 and
+    the sampler would run S silent no-op steps at t=offset; at S == T the
+    offset pushes the first timestep to T, which JAX gather would silently
+    clamp to T-1 (torch would IndexError) - also rejected.
+    """
+    t_train = schedule.num_train_timesteps
+    if num_inference_steps > t_train:
+        raise ValueError(
+            f"num_inference_steps ({num_inference_steps}) must be <= "
+            f"num_train_timesteps ({t_train})"
+        )
+    if num_inference_steps == t_train and steps_offset > 0:
+        raise ValueError(
+            f"num_inference_steps == num_train_timesteps ({t_train}) with "
+            f"steps_offset={steps_offset} indexes alphas_cumprod[{t_train}] "
+            "out of bounds; use fewer inference steps"
+        )
+    step_ratio = t_train // num_inference_steps
     ts = (np.arange(num_inference_steps) * step_ratio).round().astype(np.int64)
     ts = ts[::-1].copy() + steps_offset
     return jnp.asarray(ts, jnp.int32)

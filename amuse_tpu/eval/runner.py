@@ -92,6 +92,8 @@ def evaluate_cache(
         emo = jnp.asarray(np.stack([it["emo"] for it in items]))
         sty = jnp.asarray(np.stack([it["sty"] for it in items]))
 
+        # metrics/embedder always work in 6D+trans space; the prior encode
+        # input is whatever rep the pipeline was trained on (motion_feats)
         m6 = motion_mod.axis_angle_to_feats6d(motion)
         # disjoint PRNG streams per batch AND per role: reusing one key for
         # encode eps and the DDIM init latents makes them bit-identical
@@ -99,7 +101,7 @@ def evaluate_cache(
         # sets that FGD compares
         k_enc = jax.random.fold_in(jax.random.fold_in(jax.random.key(seed), 0), start)
         k_gen = jax.random.fold_in(jax.random.fold_in(jax.random.key(seed), 1), start)
-        z_real = pipe.encode_motion(k_enc, m6)  # (B, 1, 128)
+        z_real = pipe.encode_motion(k_enc, pipe.motion_feats(motion))  # (B, 1, 128)
         real_feats.append(np.asarray(z_real[:, 0]))
 
         latents = pipe.generate_latents(k_gen, con, emo, sty)

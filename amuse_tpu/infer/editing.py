@@ -66,9 +66,9 @@ def encode_take(
     z_motion = None
     if motion_aa is not None:
         windows = motion_mod.window_motion(np.asarray(motion_aa, np.float32))
-        feats6d = motion_mod.axis_angle_to_feats6d(windows)
-        n = min(len(chunks), feats6d.shape[0])
-        z_motion = np.asarray(pipe.encode_motion(jax.random.key(seed), feats6d[:n]))
+        feats = pipe.motion_feats(windows)  # rep the prior was trained on
+        n = min(len(chunks), feats.shape[0])
+        z_motion = np.asarray(pipe.encode_motion(jax.random.key(seed), feats[:n]))
         con, emo, sty = con[:n], emo[:n], sty[:n]
     return TakeLatents(actor, take, emo_label, con, emo, sty, z_motion)
 

@@ -60,13 +60,16 @@ class GesturePipeline:
         # either mean-pooled patch tokens (True) or the cls/dist average
         # (False) - feeding it the other distribution silently degrades
         # every downstream generation.
+        smplx_rep: str = "6D",  # motion rep the prior was trained on
+        skip_trans: bool = False,  # (trainer.py:363-376; must match training)
     ):
         import dataclasses
 
-        self.params = params
         self.prior_cfg = prior_cfg
         self.denoiser_cfg = denoiser_cfg
         self.ast_cfg = ast_cfg
+        self.smplx_rep = smplx_rep
+        self.skip_trans = skip_trans
         # Inference only needs the 256-d features (no label heads), and the
         # three encoders' backbones are shape-identical: stack their param
         # trees and vmap ONE encoder over them - 3 sequential ViT-base
@@ -88,6 +91,26 @@ class GesturePipeline:
             trees = [strip(ast_params[k]) for k in ("con", "emo", "sty")]
             return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
+        # Stack ONCE at construction (one jitted program, executed once):
+        # stacking inside the jitted encode re-copied ~3 ViT-base trees
+        # through HBM on every call. This also drops the stage-1 fusion/
+        # decoder/ablation trees (~134M params the encode path never reads)
+        # from device memory - self.params.ast holds only the stacked,
+        # stripped backbones.
+        ast_tree = params.ast
+        if {"emo_enc", "sty_enc", "con_enc"} <= set(ast_tree):
+            ast_tree = {
+                "con": ast_tree["con_enc"],
+                "emo": ast_tree["emo_enc"],
+                "sty": ast_tree["sty_enc"],
+            }
+        ast_tree = {k: ast_tree[k] for k in ("con", "emo", "sty")}
+        self.params = PipelineParams(
+            ast=jax.jit(stacked_backbone)(ast_tree),
+            prior=params.prior,
+            denoiser=params.denoiser,
+        )
+
         prior = MotionPrior(prior_cfg)
         denoiser = Denoiser(denoiser_cfg)
         schedule = make_schedule()
@@ -96,25 +119,16 @@ class GesturePipeline:
             """(N, 160000) chunks -> {con, emo, sty} (N, 256) features.
 
             = reference ``process_single_seq`` (infer_ldm.py:180-193) with
-            the Kaldi fbank fused in.
+            the Kaldi fbank fused in. ``params.ast`` is the pre-stacked
+            backbone tree built in __init__.
             """
             fb = fbank_mod.wav_chunk_to_fbank(chunks)
-            ast_tree = params.ast
-            if {"emo_enc", "sty_enc", "con_enc"} <= set(ast_tree):
-                sub = {
-                    "con": ast_tree["con_enc"],
-                    "emo": ast_tree["emo_enc"],
-                    "sty": ast_tree["sty_enc"],
-                }
-            else:
-                sub = ast_tree
-            stacked = stacked_backbone(sub)
             feats = jax.vmap(
                 lambda p: feat_encoder.apply(
                     {"params": p}, fb, frame_based_feats, True
                 )["feature"],
                 in_axes=0,
-            )(stacked)  # (3, N, 256) in {con, emo, sty} order
+            )(params.ast)  # (3, N, 256) in {con, emo, sty} order
             return {"con": feats[0], "emo": feats[1], "sty": feats[2]}
 
         def generate_latents(
@@ -144,15 +158,19 @@ class GesturePipeline:
             )
 
         def decode_motion(params: PipelineParams, latents: jax.Array):
-            """latents -> (poses (N, 300, 55, 3) axis-angle, trans (N, 300, 3))."""
+            """latents -> (poses (N, 300, 55, 3) axis-angle, trans (N, 300, 3)).
+
+            Rep-aware: a "3D"-trained prior decodes straight to axis-angle
+            (zero translation under skip_trans - see motion.defeaturize)."""
             feats = prior.apply(
                 {"params": params.prior}, latents, prior_cfg.window, method="decode"
             )
-            return motion_mod.feats6d_to_axis_angle(feats)
+            return motion_mod.defeaturize(feats, smplx_rep, skip_trans)
 
-        def encode_motion(params: PipelineParams, rng: jax.Array, feats6d: jax.Array):
-            """(N, 300, 333) 6D windows -> latents (N, 1, 128) (editing inputs)."""
-            z, _ = prior.apply({"params": params.prior}, feats6d, rng, method="encode")
+        def encode_motion(params: PipelineParams, rng: jax.Array, feats: jax.Array):
+            """Rep-space windows (N, 300, nfeats) -> latents (editing inputs);
+            build the features with :meth:`motion_feats`."""
+            z, _ = prior.apply({"params": params.prior}, feats, rng, method="encode")
             return z
 
         def wav_to_motion(params: PipelineParams, rng: jax.Array, chunks: jax.Array):
@@ -182,8 +200,13 @@ class GesturePipeline:
     def decode_motion(self, latents):
         return self._decode_motion(self.params, latents)
 
-    def encode_motion(self, rng, feats6d):
-        return self._encode_motion(self.params, rng, feats6d)
+    def encode_motion(self, rng, feats):
+        return self._encode_motion(self.params, rng, feats)
+
+    def motion_feats(self, motion):
+        """Raw (..., T, 168) axis-angle+trans windows -> the feature space
+        this pipeline's prior was trained on (editing/eval encode inputs)."""
+        return motion_mod.featurize(motion, self.smplx_rep, self.skip_trans)
 
     def wav_to_motion(self, rng, chunks):
         return self._wav_to_motion(self.params, rng, chunks)
@@ -220,22 +243,16 @@ def init_random_params(
     into hundreds of per-op compile round-trips (observed: >20 min of stall
     in prepare_data). One jitted program per model keeps it to 3 compiles.
     """
+    from amuse_tpu.models.denoiser import init_denoiser_params
+    from amuse_tpu.models.vae import init_prior_params
+
     k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
     ast = ASTDisentangler(dtype=dtype, base_cfg=ast_cfg)
     ast_params = jax.jit(ast.init)(
         k1, jnp.zeros((1, ast_cfg.input_tdim, ast_cfg.input_fdim))
     )["params"]
-    prior = MotionPrior(prior_cfg)
-    prior_params = jax.jit(prior.init)(
-        k2, jnp.zeros((1, prior_cfg.window, prior_cfg.nfeats)), jax.random.key(0)
-    )["params"]
-    denoiser = Denoiser(denoiser_cfg)
-    den_params = jax.jit(denoiser.init)(
-        k3,
-        jnp.zeros((1, denoiser_cfg.latent_tokens, denoiser_cfg.latent_dim)),
-        jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, denoiser_cfg.cond_dim)),
-        jnp.zeros((1, denoiser_cfg.cond_dim)),
-        jnp.zeros((1, denoiser_cfg.cond_dim)),
-    )["params"]
-    return PipelineParams(ast=ast_params, prior=prior_params, denoiser=den_params)
+    return PipelineParams(
+        ast=ast_params,
+        prior=init_prior_params(k2, prior_cfg),
+        denoiser=init_denoiser_params(k3, denoiser_cfg),
+    )

@@ -131,3 +131,16 @@ class Denoiser(nn.Module):
             name="encoder",
         )(xseq, None, deterministic)
         return out[:, : cfg.latent_tokens].astype(jnp.float32)
+
+
+def init_denoiser_params(rng, cfg: DenoiserConfig) -> dict:
+    """Jitted Denoiser init - see vae.init_prior_params for the rationale."""
+    denoiser = Denoiser(cfg)
+    return jax.jit(denoiser.init)(
+        rng,
+        jnp.zeros((1, cfg.latent_tokens, cfg.latent_dim)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, cfg.cond_dim)),
+        jnp.zeros((1, cfg.cond_dim)),
+        jnp.zeros((1, cfg.cond_dim)),
+    )["params"]

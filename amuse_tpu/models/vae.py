@@ -156,3 +156,13 @@ def kl_divergence_normal(mu: jax.Array, logvar: jax.Array) -> jax.Array:
     (latent_losses.py:252-262): 0.5 * (mu^2 + var - 1 - logvar), averaged.
     """
     return jnp.mean(0.5 * (mu**2 + jnp.exp(logvar) - 1.0 - logvar))
+
+
+def init_prior_params(rng, cfg: PriorConfig) -> dict:
+    """Jitted MotionPrior init (flax eager init is per-primitive dispatch -
+    pathological through a remote-compile TPU tunnel). Single authority for
+    the init call shape, shared by train/gesture.py and infer/pipeline.py."""
+    prior = MotionPrior(cfg)
+    return jax.jit(prior.init)(
+        rng, jnp.zeros((1, cfg.window, cfg.nfeats)), jax.random.key(0)
+    )["params"]

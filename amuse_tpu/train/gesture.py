@@ -45,6 +45,12 @@ class GestureTrainConfig:
     monitor_every: int = 1  # reference runs the DDIM monitor every step
     vtex_displacement: bool = True  # configs/base_new.json vtex_displacement
     checkpoint_every: int = 200  # model_save_freq
+    # motion representation the prior/diffusion stack trains on
+    # (trainer.py:363-376): "6D"+trans (333 feats) or raw axis-angle "3D"
+    # (168, or 165 with skip_trans - denoiser.py:24-27 asserts 3D-only).
+    # PriorConfig.nfeats must be sized to match (cli/main.py::_model_cfgs).
+    smplx_rep: str = "6D"
+    skip_trans: bool = False
 
 
 class TrainState(NamedTuple):
@@ -70,23 +76,14 @@ def init_state(
     denoiser_cfg: DenoiserConfig = DenoiserConfig(),
     cfg: GestureTrainConfig = GestureTrainConfig(),
 ) -> TrainState:
+    from amuse_tpu.models.denoiser import init_denoiser_params
+    from amuse_tpu.models.vae import init_prior_params
+
     k1, k2 = jax.random.split(rng)
-    prior = MotionPrior(prior_cfg)
-    # jitted inits: eager flax init is per-primitive dispatch - pathological
-    # through a remote-compile tunnel (infer/pipeline.py::init_random_params)
-    prior_params = jax.jit(prior.init)(
-        k1, jnp.zeros((1, prior_cfg.window, prior_cfg.nfeats)), jax.random.key(0)
-    )["params"]
-    denoiser = Denoiser(denoiser_cfg)
-    den_params = jax.jit(denoiser.init)(
-        k2,
-        jnp.zeros((1, denoiser_cfg.latent_tokens, denoiser_cfg.latent_dim)),
-        jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, denoiser_cfg.cond_dim)),
-        jnp.zeros((1, denoiser_cfg.cond_dim)),
-        jnp.zeros((1, denoiser_cfg.cond_dim)),
-    )["params"]
-    params = {"prior": prior_params, "denoiser": den_params}
+    params = {
+        "prior": init_prior_params(k1, prior_cfg),
+        "denoiser": init_denoiser_params(k2, denoiser_cfg),
+    }
     opt_state = make_optimizer(cfg).init(params, cfg.learning_rate)
     return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
 
@@ -115,10 +112,21 @@ def make_train_step(
     # every device tensor 2D - see core/smplx.py::SocTables
     soc = smplx_mod.prepare_soc(smplx_model) if do_vtex else None
 
+    rep, skip_trans = cfg.smplx_rep, cfg.skip_trans
+
+    def to_feats6d(feats):
+        """Rep feature space -> 6D+trans feats for the vertex monitors."""
+        if rep == "6D":
+            return feats
+        aa, tr = motion_mod.defeaturize(feats, rep, skip_trans)
+        flat = aa.reshape(aa.shape[:-2] + (-1,))
+        return motion_mod.axis_angle_to_feats6d(jnp.concatenate([flat, tr], -1))
+
     def loss_fn(params, batch, rng):
         r_enc, r_enc2, r_t, r_noise, r_ddim, r_drop = jax.random.split(rng, 6)
         d1, d2, d3, d4 = jax.random.split(r_drop, 4)
-        m6 = motion_mod.axis_angle_to_feats6d(batch["motion"])  # trainer.py:363-369
+        # trainer.py:363-376: 6D+trans features, or raw axis-angle for "3D"
+        m6 = motion_mod.featurize(batch["motion"], rep, skip_trans)
 
         # ---- VAE pass (grad; dropout active - the reference trains with
         # model.train(), trainer.py:358-360)
@@ -178,13 +186,16 @@ def make_train_step(
                 # 6D->axis-angle->matrix round-trip; core/smplx.py SocTables
                 # explains the TPU layout rationale). Each call returns a
                 # (3, B*T, V) component stack; smooth_l1 treats it
-                # identically to the (N, V, 3) ordering.
-                v_ref = smplx_mod.soc_monitor_vertices(smplx_model, soc, m6, betas)
+                # identically to the (N, V, 3) ordering. For the "3D" rep
+                # the features convert to 6D first (to_feats6d above).
+                v_ref = smplx_mod.soc_monitor_vertices(
+                    smplx_model, soc, to_feats6d(m6), betas
+                )
                 v_rst = smplx_mod.soc_monitor_vertices(
-                    smplx_model, soc, jax.lax.stop_gradient(m_rst), betas
+                    smplx_model, soc, to_feats6d(jax.lax.stop_gradient(m_rst)), betas
                 )
                 v_gen = smplx_mod.soc_monitor_vertices(
-                    smplx_model, soc, gen_m_rst, betas
+                    smplx_model, soc, to_feats6d(gen_m_rst), betas
                 )
                 rec_v = (v_rst, v_ref)
                 gen_v = (v_gen, v_ref)
