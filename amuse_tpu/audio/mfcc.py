@@ -101,7 +101,10 @@ def mfcc(
     spec = jnp.abs(jnp.fft.rfft(frames * jnp.asarray(window, frames.dtype))) ** 2
     mel = spec @ jnp.asarray(_mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate))
     db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
-    db = jnp.maximum(db, jnp.max(db) - TOP_DB)  # AmplitudeToDB top_db clamp
+    # AmplitudeToDB top_db clamp, PER waveform (reduce over this item's
+    # (T, n_mels) plane only): a global max would couple batched items -
+    # a quiet clip next to a loud one would get the loud clip's floor
+    db = jnp.maximum(db, jnp.max(db, axis=(-2, -1), keepdims=True) - TOP_DB)
     return db @ jnp.asarray(_dct_matrix(n_mfcc, n_mels))
 
 

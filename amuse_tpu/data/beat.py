@@ -106,10 +106,28 @@ def stage2_subset(takes: list[Take]) -> list[Take]:
     ]
 
 
-def load_mosh_motion(npz_path: Path) -> np.ndarray:
-    """MoSh npz -> (T, 168) [55 joints aa | trans] (dm/dm.py:558-575)."""
+def load_mosh_motion(npz_path: Path, fps: float = 30.0) -> np.ndarray:
+    """MoSh npz -> (T, 168) [55 joints aa | trans] at ``fps`` (dm/dm.py:558-575).
+
+    Honors a recorded ``mocap_frame_rate``: the downstream cache pairs
+    300-frame windows with 10 s audio chunks, which is only correct at
+    30 fps. A 120 fps capture (BEAT's native BVH rate, e.g. written by
+    ``--fn bvh2smplx_``) downsamples by its integer stride; a rate that is
+    not an integer multiple of ``fps`` raises instead of silently training
+    on audio/motion pairs offset by the rate ratio.
+    """
     d = np.load(npz_path, allow_pickle=True)
     poses = np.asarray(d["poses"], np.float32)  # (T, 165)
     trans = np.asarray(d["trans"], np.float32)  # (T, 3)
+    rate = float(np.asarray(d["mocap_frame_rate"]).reshape(())) if "mocap_frame_rate" in d else fps
+    if rate != fps:
+        stride = rate / fps
+        if abs(stride - round(stride)) > 1e-6 or stride < 1:
+            raise ValueError(
+                f"{npz_path}: mocap_frame_rate={rate} is not an integer "
+                f"multiple of the pipeline fps={fps}; resample the npz"
+            )
+        stride = int(round(stride))
+        poses, trans = poses[::stride], trans[::stride]
     n = min(poses.shape[0], trans.shape[0])
     return np.concatenate([poses[:n], trans[:n]], axis=-1)

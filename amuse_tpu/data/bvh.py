@@ -57,7 +57,6 @@ def parse_bvh(path) -> BvhData:
     frame_time = 1.0 / 30.0
     n_frames = 0
     in_motion = False
-    pending_end_site = False
 
     for raw in lines:
         tok = raw.split()
@@ -76,7 +75,6 @@ def parse_bvh(path) -> BvhData:
                 BvhJoint(tok[1], stack[-1] if stack else -1, np.zeros(3))
             )
         elif kw == "END":
-            pending_end_site = True
             joints.append(
                 BvhJoint(f"{joints[stack[-1]].name}_end", stack[-1], np.zeros(3), is_end_site=True)
             )
@@ -84,7 +82,6 @@ def parse_bvh(path) -> BvhData:
             stack.append(len(joints) - 1)
         elif kw == "}":
             stack.pop()
-            pending_end_site = False
         elif kw == "OFFSET":
             # applies to the most recently opened node (top of stack)
             joints[stack[-1]].offset = np.asarray([float(x) for x in tok[1:4]])
@@ -134,7 +131,6 @@ def bvh_to_axis_angle(bvh: BvhData) -> tuple[np.ndarray, np.ndarray, list[str]]:
     real = [j for j in bvh.joints if not j.is_end_site]
     poses = []
     trans = np.zeros((bvh.num_frames, 3))
-    ch_off = 0
     col = 0
     for j in bvh.joints:
         n_ch = len(j.channels)

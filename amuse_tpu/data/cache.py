@@ -7,10 +7,12 @@ serialises pyarrow 7-tuples into LMDB. Here:
   * the AST feature pass is batched across ALL chunks of all takes and
     sharded over the mesh "data" axis - BEAT-scale cache regeneration is
     embarrassingly data-parallel (BASELINE.json's ICI target),
-  * the cache is sharded npz files (columnar: one array per field) - no
-    LMDB/pyarrow native deps, memory-mapped reads, trivially resumable
-    (rebuild skips existing shards, mirroring the reference's
-    restartable-preprocessing discipline, SURVEY §5),
+  * the cache is sharded directories of per-field .npy (columnar) - no
+    LMDB/pyarrow native deps, memory-mapped reads; shards FLUSH to disk as
+    they fill (RAM stays bounded at BEAT scale) and a finished cache is
+    skip-if-built via its manifest (the reference's restartable-
+    preprocessing discipline, SURVEY §5; an interrupted build restarts and
+    overwrites its partial shards - the manifest is written last),
   * window slicing (300 frames <-> one 10 s audio chunk) happens at build
     time exactly like the reference (dm/dm.py:617-661).
 
@@ -72,6 +74,27 @@ def build_stage2_cache(
         return out_dir
 
     records = {f: [] for f in FIELDS}
+    shards: list[str] = []
+    n = 0  # windows written + buffered
+
+    def flush(final: bool) -> None:
+        """Write full SHARD_WINDOWS groups (all of the buffer when final),
+        bounding RAM: one window is ~850 KB (motion+raw audio+features), so
+        buffering a whole BEAT build before writing costs many GB."""
+        nonlocal records
+        while records["motion"] and (
+            final or len(records["motion"]) >= SHARD_WINDOWS
+        ):
+            shard_dir = out_dir / f"shard_{len(shards):05d}"
+            shard_dir.mkdir(exist_ok=True)
+            for f in FIELDS:
+                np.save(
+                    shard_dir / f"{f}.npy",
+                    np.stack(records[f][:SHARD_WINDOWS]),
+                )
+            shards.append(shard_dir.name)
+            records = {f: records[f][SHARD_WINDOWS:] for f in FIELDS}
+
     for t in takes:
         motion = beat_mod.load_mosh_motion(t.mosh_npz)
         wave = load_wav_resampled(t.wav)
@@ -99,26 +122,18 @@ def build_stage2_cache(
             records["con"].append(con[w])
             records["emo"].append(emo[w])
             records["sty"].append(sty[w])
+        n += n_windows
+        flush(final=False)
         if progress:
             print(f"[cache] {t.actor_name}/{t.take}: {n_windows} windows")
 
-    n = len(records["motion"])
     if n == 0:
         # never write a 0-window manifest: the skip-if-built check would
         # then permanently short-circuit rebuilds after the data is fixed
         print(f"[cache] no windows produced from {len(takes)} takes; "
               "manifest NOT written (fix data and re-run)")
         return out_dir
-    shards = []
-    for s in range(0, n, SHARD_WINDOWS):
-        # one directory of per-field .npy per shard: genuinely memory-mapped
-        # reads (npz members cannot mmap), the columnar analog of the
-        # reference's LMDB values
-        shard_dir = out_dir / f"shard_{s // SHARD_WINDOWS:05d}"
-        shard_dir.mkdir(exist_ok=True)
-        for f in FIELDS:
-            np.save(shard_dir / f"{f}.npy", np.stack(records[f][s : s + SHARD_WINDOWS]))
-        shards.append(shard_dir.name)
+    flush(final=True)
     manifest_path.write_text(
         json.dumps(
             {"num_windows": n, "shards": shards, "fields": list(FIELDS),
@@ -194,28 +209,47 @@ def merge_caches(cache_dirs, out_dir) -> Path:
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    shards, total = [], 0
+    # read all (tiny) manifests FIRST: compatibility is validated before any
+    # shard data moves (a failed merge used to leave out_dir half-populated
+    # with no manifest), and an out_dir that is itself one of the sources is
+    # handled by staging its copies under temp names (the old in-place path
+    # overwrote the destination's same-named shards with an earlier source's
+    # data BEFORE the destination's own entries were read - data loss).
+    manifests = []
     sources = set()
     for d in cache_dirs:
         d = Path(d)
         manifest = json.loads((d / "manifest.json").read_text())
         sources.add(manifest.get("ast_source", ""))
-        for s in manifest["shards"]:
-            src = d / s
-            name = f"shard_{len(shards):05d}" + ("" if src.is_dir() else ".npz")
-            dst = out_dir / name
-            if src.resolve() != dst.resolve():
-                if src.is_dir():
-                    shutil.copytree(src, dst, dirs_exist_ok=True)
-                else:
-                    shutil.copyfile(src, dst)
-            shards.append(name)
-        total += manifest["num_windows"]
+        manifests.append((d, manifest))
     if len(sources) > 1:
         raise RuntimeError(
             f"refusing to merge caches built from DIFFERENT AST weights: "
             f"{sorted(sources)} - their con/emo/sty features are incompatible"
         )
+    shards, total = [], 0
+    staged = []  # (temp name, final name)
+    for d, manifest in manifests:
+        for s in manifest["shards"]:
+            src = d / s
+            suffix = "" if src.is_dir() else ".npz"
+            name = f"shard_{len(shards):05d}{suffix}"
+            if src.resolve() == (out_dir / name).resolve():
+                pass  # already in place under its final name
+            else:
+                tmp = f".merge_{len(shards):05d}{suffix}"
+                if src.is_dir():
+                    shutil.copytree(src, out_dir / tmp, dirs_exist_ok=True)
+                else:
+                    shutil.copyfile(src, out_dir / tmp)
+                staged.append((tmp, name))
+            shards.append(name)
+        total += manifest["num_windows"]
+    for tmp, name in staged:
+        dst = out_dir / name
+        if dst.exists():  # displaced destination shard already staged above
+            shutil.rmtree(dst) if dst.is_dir() else dst.unlink()
+        (out_dir / tmp).rename(dst)
     (out_dir / "manifest.json").write_text(
         json.dumps(
             {"num_windows": total, "shards": shards, "fields": list(FIELDS),

@@ -60,7 +60,17 @@ def encode_dialogue(text: str, dim: int = 768) -> np.ndarray:
         with torch.no_grad():
             ids = tok(text, return_tensors="pt", truncation=True, max_length=512)
             out = model(**ids).last_hidden_state.mean(dim=1)[0]
-        return out.numpy().astype(np.float32)
+        emb = out.numpy().astype(np.float32)
+        if dim != emb.shape[0]:
+            # honor the requested dim on BOTH paths: downstream arrays must
+            # not change shape with the environment (GPT-2 cached or not).
+            # Fixed-seed Gaussian projection preserves distances in
+            # expectation (Johnson-Lindenstrauss) and is deterministic.
+            proj = np.random.default_rng(0).normal(
+                size=(emb.shape[0], dim)
+            ).astype(np.float32) / np.sqrt(dim)
+            emb = emb @ proj
+        return emb
     return hash_embedding(text, dim)
 
 

@@ -71,6 +71,13 @@ def process_facial(
         lip.append(w[lip_idx])
         rem.append(w[rem_idx])
         full.append(w)
+    if not lip:  # empty/truncated capture: return (0, K) arrays, don't
+        # abort a whole dataset pass on np.stack([]) (one bad JSON)
+        return (
+            np.zeros((0, len(lip_idx)), np.float32),
+            np.zeros((0, len(rem_idx)), np.float32),
+            np.zeros((0, len(names)), np.float32),
+        )
     return np.stack(lip), np.stack(rem), np.stack(full)
 
 

@@ -39,11 +39,12 @@ from amuse_tpu.data.actors import (
 def fbanks_per_take(
     takes: Sequence[beat_mod.Take],
     fbank_fn=None,  # (N, 160000) -> (N, 1024, 128) normalised fbanks
-    min_frames: int = 300,
 ) -> dict[tuple[int, str], dict]:
     """{(actor_id, take): {"fbanks": (C, 1024, 128), "emo": int}}.
 
-    Chunks shorter than 300 fbank frames are dropped (dm/dm.py:431).
+    The reference drops chunks shorter than 300 fbank frames (dm/dm.py:431);
+    here full-chunk windowing + fixed 1024-frame fbank padding make that
+    case unrepresentable (the sub-10 s wav guard below is the filter).
     """
     import jax.numpy as jnp
 
@@ -62,8 +63,10 @@ def fbanks_per_take(
             continue
         chunks = fb.window_waveform(wave)
         fbanks = fbank_fn(chunks.astype(np.float32))
-        if fbanks.shape[1] < min_frames:  # dm/dm.py:431: short chunks dropped
-            continue
+        # NOTE: the reference drops <300-frame chunks (dm/dm.py:431); here
+        # window_waveform only emits full 10 s chunks and the fbank pads to
+        # exactly 1024 frames, so no equivalent short-chunk case exists -
+        # the CHUNK_SAMPLES guard above is the operative filter.
         emo = beat_mod.emotion_label(t.emotion_csv) if t.emotion_csv else 0
         out[(t.actor_id, t.take)] = {"fbanks": fbanks, "emo": emo}
     return out

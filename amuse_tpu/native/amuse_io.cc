@@ -151,21 +151,30 @@ void* amuse_open(const char* path) {
       mmap(nullptr, ds->map_size, PROT_READ, MAP_SHARED, ds->fd, 0));
   if (ds->map == MAP_FAILED) { ds->map = nullptr; delete ds; return nullptr; }
 
+  // Header parsing with hard bounds checks: a truncated or corrupted file
+  // (e.g. an interrupted cache_to_abin before the temp+rename fix) must be
+  // REJECTED, not silently served as garbage batches / SIGBUS on read.
   const uint8_t* p = ds->map;
-  if (std::memcmp(p, "ABIN", 4) != 0) { delete ds; return nullptr; }
+  const uint8_t* end = ds->map + ds->map_size;
+  auto fail = [&]() { delete ds; return static_cast<void*>(nullptr); };
+  if (ds->map_size < 20 || std::memcmp(p, "ABIN", 4) != 0) return fail();
   p += 4;
   uint32_t version = read_pod<uint32_t>(p);
   (void)version;
   ds->num_records = read_pod<uint64_t>(p);
   uint32_t nf = read_pod<uint32_t>(p);
+  if (nf == 0 || nf > 1024) return fail();
   uint64_t offset = 0;
   for (uint32_t i = 0; i < nf; ++i) {
     Field f;
+    if (end - p < 4) return fail();
     uint32_t nl = read_pod<uint32_t>(p);
+    if (nl > 4096 || static_cast<uint64_t>(end - p) < nl + 8ull) return fail();
     f.name.assign(reinterpret_cast<const char*>(p), nl);
     p += nl;
     f.dtype = read_pod<uint32_t>(p);
     uint32_t nd = read_pod<uint32_t>(p);
+    if (nd > 16 || static_cast<uint64_t>(end - p) < nd * 8ull) return fail();
     for (uint32_t d = 0; d < nd; ++d) {
       uint64_t dim = read_pod<uint64_t>(p);
       f.dims.push_back(dim);
@@ -178,6 +187,10 @@ void* amuse_open(const char* path) {
   }
   ds->record_stride = offset;
   ds->data = p;
+  // the declared record payload must actually be inside the mapping
+  uint64_t avail = static_cast<uint64_t>(end - p);
+  if (ds->record_stride == 0 || ds->num_records > avail / ds->record_stride)
+    return fail();
   return ds;
 }
 

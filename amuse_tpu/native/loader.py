@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import ctypes
+import os
 import struct
 import subprocess
 from pathlib import Path
@@ -53,7 +54,11 @@ def write_abin(path, records: dict[str, np.ndarray]) -> Path:
         assert a.shape[0] == n, f"field {k} has {a.shape[0]} records, expected {n}"
         arrays[k] = a
 
-    with open(path, "wb") as f:
+    # write to a temp file + atomic rename: an interrupted write must never
+    # leave a truncated train.abin behind - the mtime-gated reuse in
+    # task_train_gesture would silently feed garbage batches forever
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
         f.write(b"ABIN")
         f.write(struct.pack("<IQ I", 1, n, len(names)))
         for k in names:
@@ -67,6 +72,9 @@ def write_abin(path, records: dict[str, np.ndarray]) -> Path:
         for i in range(n):
             for k in names:
                 f.write(arrays[k][i].tobytes())
+        f.flush()
+        os.fsync(f.fileno())
+    tmp.rename(path)
     return path
 
 
