@@ -73,6 +73,13 @@ class MotionEmbedder(nn.Module):
 
 
 def init_params(rng: jax.Array, cfg: EmbedderConfig) -> dict:
+    if len(set(cfg.channels)) != len(cfg.channels):
+        # layer names derive from channel widths (stable across config
+        # reorderings and pinned by the checked-in weight artifact) - a
+        # repeated width would be a flax duplicate-scope crash at init
+        raise ValueError(
+            f"EmbedderConfig.channels must be distinct widths, got {cfg.channels}"
+        )
     model = MotionEmbedder(cfg)
     return jax.jit(lambda k: model.init(
         k, jnp.zeros((1, cfg.window, cfg.in_dim)), True
@@ -93,7 +100,7 @@ def make_train_step(cfg: EmbedderConfig, learning_rate: float = 1e-3):
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         updates, opt_state = opt.update(grads, opt_state)
-        return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state, loss
 
     return step, opt
 

@@ -119,11 +119,16 @@ def beat_alignment(
 
 
 def diversity(feats: jax.Array, num_pairs: int = 200, seed: int = 0) -> jax.Array:
-    """Mean L2 between random pairs of (N, D) features (TM2T convention)."""
+    """Mean L2 between random DISTINCT pairs of (N, D) features (TM2T
+    convention). j is drawn as a nonzero offset from i, so i == j (a
+    guaranteed zero distance that biases the mean down ~num_pairs/N %)
+    cannot occur."""
     n = feats.shape[0]
+    if n < 2:
+        return jnp.zeros(())
     k1, k2 = jax.random.split(jax.random.key(seed))
     i = jax.random.randint(k1, (num_pairs,), 0, n)
-    j = jax.random.randint(k2, (num_pairs,), 0, n)
+    j = (i + jax.random.randint(k2, (num_pairs,), 1, n)) % n
     return jnp.mean(jnp.linalg.norm(feats[i] - feats[j], axis=-1))
 
 

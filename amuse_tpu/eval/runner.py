@@ -85,8 +85,11 @@ def evaluate_cache(
         # dispatch op-by-op twice per batch (the slowest leg of the eval)
         emb_fn = jax.jit(lambda m: emb_mod.embed(eparams, ecfg, m))
 
-    for start in range(0, n - batch_size + 1, batch_size):
-        items = [cache[i] for i in range(start, start + batch_size)]
+    for start in range(0, n, batch_size):
+        # include the tail as a smaller final batch (one extra compile):
+        # dropping it silently excluded up to batch_size-1 windows from
+        # every metric while num_windows claimed they were covered
+        items = [cache[i] for i in range(start, min(start + batch_size, n))]
         motion = jnp.asarray(np.stack([it["motion"] for it in items]))
         con = jnp.asarray(np.stack([it["con"] for it in items]))
         emo = jnp.asarray(np.stack([it["emo"] for it in items]))
@@ -99,9 +102,12 @@ def evaluate_cache(
         # encode eps and the DDIM init latents makes them bit-identical
         # (same shape/dtype), correlating the real and generated feature
         # sets that FGD compares
-        k_enc = jax.random.fold_in(jax.random.fold_in(jax.random.key(seed), 0), start)
         k_gen = jax.random.fold_in(jax.random.fold_in(jax.random.key(seed), 1), start)
-        z_real = pipe.encode_motion(k_enc, pipe.motion_feats(motion))  # (B, 1, 128)
+        # posterior MEAN, not a reparameterised sample: a sampled z inflates
+        # the real-side covariance with encoder noise, so even a perfect
+        # generator would score nonzero FGD (metrics.py pins mu as the
+        # canonical embedding)
+        z_real = pipe.encode_motion_mu(pipe.motion_feats(motion))  # (B, 1, 128)
         real_feats.append(np.asarray(z_real[:, 0]))
 
         latents = pipe.generate_latents(k_gen, con, emo, sty)
@@ -141,8 +147,8 @@ def evaluate_cache(
     gen = jnp.asarray(np.concatenate(gen_feats))
     out = {
         "fgd": float(M.fgd(real, gen)),
-        "diversity_real": float(M.diversity(real)),
-        "diversity_gen": float(M.diversity(gen)),
+        "diversity_real": float(M.diversity(real, seed=seed)),
+        "diversity_gen": float(M.diversity(gen, seed=seed)),
         "ape": float(np.mean(ape_vals)),
         "ave": float(np.mean(ave_vals)),
         "num_windows": float(real.shape[0]),

@@ -173,6 +173,14 @@ class GesturePipeline:
             z, _ = prior.apply({"params": params.prior}, feats, rng, method="encode")
             return z
 
+        def encode_motion_mu(params: PipelineParams, feats: jax.Array):
+            """Posterior MEAN latents (no reparameterisation noise) - the
+            canonical FGD embedding (eval/metrics.py)."""
+            _, (mu, _) = prior.apply(
+                {"params": params.prior}, feats, jax.random.key(0), method="encode"
+            )
+            return mu
+
         def wav_to_motion(params: PipelineParams, rng: jax.Array, chunks: jax.Array):
             """The full fused program - the <1 s/chip benchmark target."""
             cond = encode_audio(params, chunks)
@@ -188,6 +196,7 @@ class GesturePipeline:
         self._generate_latents = jax.jit(generate_latents)
         self._decode_motion = jax.jit(decode_motion)
         self._encode_motion = jax.jit(encode_motion)
+        self._encode_motion_mu = jax.jit(encode_motion_mu)
         self._wav_to_motion = jax.jit(wav_to_motion)
 
     # ------------------------------------------------------------- wrappers
@@ -202,6 +211,9 @@ class GesturePipeline:
 
     def encode_motion(self, rng, feats):
         return self._encode_motion(self.params, rng, feats)
+
+    def encode_motion_mu(self, feats):
+        return self._encode_motion_mu(self.params, feats)
 
     def motion_feats(self, motion):
         """Raw (..., T, 168) axis-angle+trans windows -> the feature space

@@ -52,6 +52,10 @@ class MultiHeadAttention(nn.Module):
     d_model: int
     num_heads: int
     dtype: Dtype = jnp.float32
+    # torch nn.MultiheadAttention(dropout=p) drops the ATTENTION WEIGHTS
+    # during training (after softmax, before @ V) - a distinct regularizer
+    # from the residual/FFN dropouts the layers apply around this module
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(
@@ -60,6 +64,7 @@ class MultiHeadAttention(nn.Module):
         key: jax.Array,
         value: jax.Array,
         key_padding_mask: Optional[jax.Array] = None,  # (B, Tk) True = keep
+        deterministic: bool = True,
     ) -> jax.Array:
         d, h = self.d_model, self.num_heads
         head_dim = d // h
@@ -86,6 +91,7 @@ class MultiHeadAttention(nn.Module):
             neg = jnp.asarray(jnp.finfo(jnp.float32).min, scores.dtype)
             scores = jnp.where(key_padding_mask[:, None, None, :], scores, neg)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(out.shape[:-2] + (d,))
         return dense("out_proj")(out)
@@ -125,7 +131,9 @@ class EncoderLayer(nn.Module):
         key_padding_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        attn = MultiHeadAttention(self.d_model, self.num_heads, self.dtype, name="self_attn")
+        attn = MultiHeadAttention(
+            self.d_model, self.num_heads, self.dtype, self.dropout, name="self_attn"
+        )
         ffn = FeedForward(
             self.d_model, self.ff_size, self.activation, self.dropout, self.dtype, name="ffn"
         )
@@ -135,10 +143,10 @@ class EncoderLayer(nn.Module):
 
         if self.normalize_before:
             h = norm1(x)
-            x = x + drop(attn(h, h, h, key_padding_mask))
+            x = x + drop(attn(h, h, h, key_padding_mask, deterministic))
             h = norm2(x)
             return x + drop(ffn(h, deterministic))
-        x = norm1(x + drop(attn(x, x, x, key_padding_mask)))
+        x = norm1(x + drop(attn(x, x, x, key_padding_mask, deterministic)))
         return norm2(x + drop(ffn(x, deterministic)))
 
 
@@ -162,8 +170,12 @@ class DecoderLayer(nn.Module):
         memory_key_padding_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        self_attn = MultiHeadAttention(self.d_model, self.num_heads, self.dtype, name="self_attn")
-        cross_attn = MultiHeadAttention(self.d_model, self.num_heads, self.dtype, name="cross_attn")
+        self_attn = MultiHeadAttention(
+            self.d_model, self.num_heads, self.dtype, self.dropout, name="self_attn"
+        )
+        cross_attn = MultiHeadAttention(
+            self.d_model, self.num_heads, self.dtype, self.dropout, name="cross_attn"
+        )
         ffn = FeedForward(
             self.d_model, self.ff_size, self.activation, self.dropout, self.dtype, name="ffn"
         )
@@ -174,13 +186,15 @@ class DecoderLayer(nn.Module):
 
         if self.normalize_before:
             h = norm1(tgt)
-            tgt = tgt + drop(self_attn(h, h, h, tgt_key_padding_mask))
+            tgt = tgt + drop(self_attn(h, h, h, tgt_key_padding_mask, deterministic))
             h = norm2(tgt)
-            tgt = tgt + drop(cross_attn(h, memory, memory, memory_key_padding_mask))
+            tgt = tgt + drop(cross_attn(h, memory, memory, memory_key_padding_mask, deterministic))
             h = norm3(tgt)
             return tgt + drop(ffn(h, deterministic))
-        tgt = norm1(tgt + drop(self_attn(tgt, tgt, tgt, tgt_key_padding_mask)))
-        tgt = norm2(tgt + drop(cross_attn(tgt, memory, memory, memory_key_padding_mask)))
+        tgt = norm1(tgt + drop(self_attn(tgt, tgt, tgt, tgt_key_padding_mask, deterministic)))
+        tgt = norm2(
+            tgt + drop(cross_attn(tgt, memory, memory, memory_key_padding_mask, deterministic))
+        )
         return norm3(tgt + drop(ffn(tgt, deterministic)))
 
 

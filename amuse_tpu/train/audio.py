@@ -126,12 +126,14 @@ def spec_augment(
         u = jax.random.uniform(key, ())
         return jnp.floor(u * (length - width + 1)).astype(jnp.int32)
 
-    fw = jax.random.randint(kfw, (), 0, freq_mask + 1)
+    # torchaudio mask_along_axis: width = (rand()*mask_param).long(), i.e.
+    # uniform over {0..mask_param-1} - mask_param itself is NOT reachable
+    fw = jax.random.randint(kfw, (), 0, jnp.maximum(freq_mask, 1))
     f0 = start_index(kf0, f_len, fw)
     f_idx = jnp.arange(f_len)
     fbank = jnp.where((f_idx >= f0) & (f_idx < f0 + fw), 0.0, fbank)
 
-    tw = jax.random.randint(ktw, (), 0, time_mask + 1)
+    tw = jax.random.randint(ktw, (), 0, jnp.maximum(time_mask, 1))
     t0 = start_index(kt0, t_len, tw)
     t_idx = jnp.arange(t_len)[:, None]
     fbank = jnp.where((t_idx >= t0) & (t_idx < t0 + tw), 0.0, fbank)
@@ -165,7 +167,11 @@ def make_train_step(
         rng, r_drop1, r_drop2 = jax.random.split(rng, 3)
 
         if cfg.noise_aug or cfg.freq_mask or cfg.time_mask:
-            rngs = jax.random.split(rng, 4 * b).reshape(4, b)
+            keys = jax.random.split(rng, 4 * b)
+            # keep any trailing key-data dims: legacy uint32 PRNGKeys are
+            # (4b, 2) here while typed keys are (4b,) - a bare
+            # reshape(4, b) crashed on the legacy flavor
+            rngs = keys.reshape((4, b) + keys.shape[1:])
             # target = masked fbank; model input = masked + noise + roll
             # (the reference reconstructs the masked-only fbank from the
             # noisy copy, AST_EVP.py:125-126,160)

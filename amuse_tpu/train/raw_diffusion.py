@@ -42,7 +42,9 @@ def init_state(
     cfg: RawTrainConfig = RawTrainConfig(),
 ) -> RawTrainState:
     model = RawPoseDenoiser(model_cfg)
-    params = model.init(
+    # jitted init like every other model in the repo: eager flax init is
+    # per-primitive dispatch - pathological through a remote-compile tunnel
+    params = jax.jit(model.init)(
         rng,
         jnp.zeros((1, model_cfg.window, model_cfg.nfeats)),
         jnp.zeros((1,), jnp.int32),

@@ -109,9 +109,11 @@ class TestSpecAugment:
             _, out = ta.spec_augment(jax.random.key(s), fb, fmask, 0, noise=False)
             widths.append(int((np.asarray(out)[0] == 0).sum()))
         widths = np.asarray(widths)
-        # uniform on {0..16}: mean 8, and full support actually visited
-        assert 6.5 < widths.mean() < 9.5, widths.mean()
-        assert widths.min() == 0 and widths.max() == fmask
+        # torchaudio mask_along_axis widths: (rand()*mask_param).long() is
+        # uniform on {0..mask_param-1} - mask_param itself is unreachable
+        # (round-3 review fix: the old draw included it, over-masking)
+        assert 6.0 < widths.mean() < 9.0, widths.mean()
+        assert widths.min() == 0 and widths.max() == fmask - 1
 
     def test_deterministic_given_key(self):
         fb = jnp.asarray(np.random.default_rng(2).normal(size=(64, 32)), jnp.float32)
