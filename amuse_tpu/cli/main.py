@@ -157,15 +157,21 @@ def task_prepare_data(cfg):
         window_frames=cfg.data.window_frames, ast_source=ast_source,
     )
 
-    # stage-1 quad dataset
+    # stage-1 quad dataset (skip-if-built like the stage-2 cache - the
+    # fbank pass is the expensive leg at BEAT scale, and the reference
+    # skips its prebuilt fbank npz the same way, dm/dm.py:413-415)
     from amuse_tpu.data import stage1
 
+    out = Path(cfg.data.stage1_dataset)
+    provenance = stage1.takes_provenance(takes)
+    if stage1.dataset_is_current(out, provenance):
+        print(f"[prepare_data] stage-1 dataset current, skipping -> {out}")
+        return
     per_take = stage1.fbanks_per_take(takes)
     train = stage1.build_quads(per_take, "train")
     val = stage1.build_quads(per_take, "val")
-    out = Path(cfg.data.stage1_dataset)
     out.parent.mkdir(parents=True, exist_ok=True)
-    stage1.save_dataset(out, train, val)
+    stage1.save_dataset(out, train, val, provenance)
     print(
         f"[prepare_data] stage-1 quads: train {train['emo_id'].shape[0]}, "
         f"val {val['emo_id'].shape[0]} -> {out}"

@@ -151,12 +151,48 @@ def build_quads(
     }
 
 
-def save_dataset(path: Path, train: dict, val: dict) -> None:
+def takes_provenance(takes: Sequence[beat_mod.Take]) -> list[str]:
+    """Sorted identity of the wav set a dataset would be built from.
+
+    Identity-only (actor/take stems), matching the reference's
+    skip-if-present semantics for its fbank artifacts (dm/dm.py:413-415,
+    count check at :334-335): adding/removing takes triggers a rebuild;
+    editing a wav or emotion CSV in place does not (delete the npz to force
+    one, exactly as upstream).
+    """
+    return sorted(f"{t.actor_id}/{t.take}" for t in takes if t.wav is not None)
+
+
+def save_dataset(
+    path: Path, train: dict, val: dict, provenance: Optional[list] = None
+) -> None:
+    meta = json.dumps({"takes": list(provenance or [])})
     np.savez_compressed(
         path,
+        __meta__=np.frombuffer(meta.encode(), np.uint8),
         **{f"train_{k}": v for k, v in train.items()},
         **{f"val_{k}": v for k, v in val.items()},
     )
+
+
+def dataset_is_current(path: Path, provenance: list) -> bool:
+    """True when ``path`` exists and was built from exactly ``provenance``.
+
+    Lets prepare_data skip the stage-1 fbank pass (the expensive leg at
+    BEAT scale) on re-runs, like the stage-2 cache's skip-if-built
+    manifest. Legacy datasets without provenance rebuild once.
+    """
+    p = Path(path)
+    if not p.exists():
+        return False
+    try:
+        with np.load(p) as d:
+            if "__meta__" not in d.files:
+                return False
+            meta = json.loads(bytes(d["__meta__"]).decode())
+    except Exception:
+        return False  # unreadable/corrupt -> rebuild
+    return meta.get("takes") == list(provenance)
 
 
 def load_dataset(path: Path) -> tuple[dict, dict]:
