@@ -158,6 +158,44 @@ def wav_chunk_to_fbank(chunk: jax.Array, normalized: bool = True) -> jax.Array:
     return normalize(fb) if normalized else fb
 
 
+def make_sharded_fbank(mesh):
+    """(N, 160000) numpy -> (N, 1024, 128) numpy, sharded over mesh "data".
+
+    The stage-1 fbank pass is the expensive prepare_data leg at BEAT scale
+    (1,941 takes); each chunk is independent (per-frame DC removal,
+    dataset-constant normalisation), so it shard_maps with no collectives.
+    Pads the chunk batch up to the data-axis size and strips the pad rows;
+    bytes are pinned identical to single-device ``wav_chunk_to_fbank``
+    (tests/test_stage1_dataset.py::TestShardedFbank).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.devices.size
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    sharded = jax.jit(
+        jax.shard_map(
+            wav_chunk_to_fbank,
+            mesh=mesh,
+            in_specs=P(mesh.axis_names[0]),
+            out_specs=P(mesh.axis_names[0]),
+        )
+    )
+
+    def run(chunks: np.ndarray) -> np.ndarray:
+        chunks = np.asarray(chunks, np.float32)
+        n = chunks.shape[0]
+        pad = (-n) % n_dev
+        if pad:
+            chunks = np.concatenate(
+                [chunks, np.zeros((pad,) + chunks.shape[1:], chunks.dtype)]
+            )
+        with mesh:
+            out = sharded(jax.device_put(chunks, sharding))
+        return np.asarray(out)[:n]
+
+    return run
+
+
 def window_waveform(waveform: np.ndarray, reference_quirk: bool = False) -> np.ndarray:
     """Full-length mono waveform -> (n_chunks, 160000) of 10 s chunks.
 

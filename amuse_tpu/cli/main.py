@@ -165,9 +165,18 @@ def task_prepare_data(cfg):
     out = Path(cfg.data.stage1_dataset)
     provenance = stage1.takes_provenance(takes)
     if stage1.dataset_is_current(out, provenance):
-        print(f"[prepare_data] stage-1 dataset current, skipping -> {out}")
+        print(f"[prepare_data] stage-1 dataset current, skipping -> {out} "
+              "(identity-only check: delete the npz to force a rebuild "
+              "after editing a wav/CSV in place)")
         return
-    per_take = stage1.fbanks_per_take(takes)
+
+    # the fbank pass is the expensive stage-1 leg at BEAT scale (1,941
+    # takes); shard it over the mesh data axis exactly like the stage-2
+    # AST pass above (shard_map: per-chunk-independent front-end, no
+    # collectives; tests/test_stage1_dataset.py pins sharded == default)
+    from amuse_tpu.audio import fbank as fb
+
+    per_take = stage1.fbanks_per_take(takes, fbank_fn=fb.make_sharded_fbank(mesh))
     train = stage1.build_quads(per_take, "train")
     val = stage1.build_quads(per_take, "val")
     out.parent.mkdir(parents=True, exist_ok=True)

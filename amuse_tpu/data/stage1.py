@@ -14,7 +14,8 @@ Re-design of dm.DTW_align_dm_ast (dm/dm.py:409-520) + the stage-1 side of
     not in the loader - the TPU does the augmentation math.
 
 The built dataset is one npz of fbank quads + labels; at BEAT scale the
-fbank pass shards over the mesh like the stage-2 cache build.
+fbank pass shards over the mesh like the stage-2 cache build (prepare_data
+passes a shard_map'd ``wav_chunk_to_fbank`` as ``fbank_fn``, cli/main.py).
 """
 
 from __future__ import annotations
@@ -163,12 +164,24 @@ def takes_provenance(takes: Sequence[beat_mod.Take]) -> list[str]:
     return sorted(f"{t.actor_id}/{t.take}" for t in takes if t.wav is not None)
 
 
+def _npz_path(path) -> Path:
+    """The file np.savez_compressed actually writes: numpy appends ``.npz``
+    to suffix-less names, so every reader/skip-check must normalise the
+    same way or a configured ``stage1_dataset: "stage1"`` would silently
+    never skip (and never load)."""
+    p = Path(path)
+    return p if p.name.endswith(".npz") else p.with_name(p.name + ".npz")
+
+
 def save_dataset(
     path: Path, train: dict, val: dict, provenance: Optional[list] = None
 ) -> None:
-    meta = json.dumps({"takes": list(provenance or [])})
+    # provenance=None means "unknown origin": store null so
+    # dataset_is_current never treats it as matching any take set (an
+    # empty LIST is a genuinely-empty take set and does match []).
+    meta = json.dumps({"takes": None if provenance is None else list(provenance)})
     np.savez_compressed(
-        path,
+        _npz_path(path),
         __meta__=np.frombuffer(meta.encode(), np.uint8),
         **{f"train_{k}": v for k, v in train.items()},
         **{f"val_{k}": v for k, v in val.items()},
@@ -180,9 +193,11 @@ def dataset_is_current(path: Path, provenance: list) -> bool:
 
     Lets prepare_data skip the stage-1 fbank pass (the expensive leg at
     BEAT scale) on re-runs, like the stage-2 cache's skip-if-built
-    manifest. Legacy datasets without provenance rebuild once.
+    manifest. Legacy datasets without provenance (or saved with
+    provenance=None) rebuild once. Identity-only semantics: see
+    ``takes_provenance``.
     """
-    p = Path(path)
+    p = _npz_path(path)
     if not p.exists():
         return False
     try:
@@ -192,11 +207,11 @@ def dataset_is_current(path: Path, provenance: list) -> bool:
             meta = json.loads(bytes(d["__meta__"]).decode())
     except Exception:
         return False  # unreadable/corrupt -> rebuild
-    return meta.get("takes") == list(provenance)
+    return meta.get("takes") is not None and meta["takes"] == list(provenance)
 
 
 def load_dataset(path: Path) -> tuple[dict, dict]:
-    d = np.load(path)
+    d = np.load(_npz_path(path))
     train = {k[len("train_"):]: d[k] for k in d.files if k.startswith("train_")}
     val = {k[len("val_"):]: d[k] for k in d.files if k.startswith("val_")}
     return train, val
