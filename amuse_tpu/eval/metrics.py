@@ -63,12 +63,85 @@ def fgd(real_feats: jax.Array, gen_feats: jax.Array) -> jax.Array:
 
 
 # --------------------------------------------------------- beat alignment
+#
+# Both detectors follow published constructions (the round-3 verdict's ask),
+# each pinned against a third-party reconstruction oracle in
+# tests/thirdparty/librosa_onset.py + tests/test_eval_metrics.py, the same
+# discipline as the fbank/scheduler oracles:
+#   * audio: librosa's onset pipeline (onset_strength spectral flux on the
+#     dB mel spectrogram -> util.peak_pick with onset_detect's documented
+#     30 ms / 100 ms / delta=0.07 defaults), re-expressed on our Kaldi
+#     front-end's fixed 10 ms hop.
+#   * motion: Li et al. 2021 (AI Choreographer / AIST++) kinematic beats -
+#     strict local minima of the summed per-joint speed envelope within a
+#     +-order window (their argrelextrema(envelope, np.less, order=10) at
+#     60 fps, scaled to the clip's fps here).
+
+_DB_PER_NAT = 10.0 / np.log(10.0)  # ln(power) -> decibels
+
+
+def onset_envelope(log_mel: np.ndarray) -> np.ndarray:
+    """librosa.onset.onset_strength on a natural-log mel spectrogram.
+
+    (T, n_mels) ln-power mel (our Kaldi fbank's output space) -> (T-1,)
+    envelope: mean over bands of the positively-rectified first difference
+    of the dB-scaled spectrogram (lag=1, aggregate=np.mean — librosa's
+    defaults). No centering shift: our snip-edges framing already indexes
+    frame t at t*hop (librosa's ``center`` compensates its own padded STFT).
+    """
+    s_db = np.asarray(log_mel, np.float64) * _DB_PER_NAT
+    return np.maximum(np.diff(s_db, axis=0), 0.0).mean(axis=1)
+
+
+def pick_peaks(
+    x: np.ndarray,
+    pre_max: int = 3,
+    post_max: int = 1,
+    pre_avg: int = 10,
+    post_avg: int = 11,
+    delta: float = 0.07,
+    wait: int = 3,
+) -> np.ndarray:
+    """librosa.util.peak_pick: i is a peak iff x[i] is the max of
+    x[i-pre_max : i+post_max], at least delta above the mean of
+    x[i-pre_avg : i+post_avg], and > wait samples after the previous peak.
+
+    Defaults are librosa.onset.onset_detect's documented 30 ms max-window /
+    100 ms mean-window / delta=0.07 dB / 30 ms wait, scaled to the 10 ms
+    fbank hop (librosa: pre_max=0.03*sr//hop etc.). Pure numpy; pinned
+    against the scipy-filter reconstruction of librosa's implementation in
+    tests/thirdparty/librosa_onset.py.
+    """
+    x = np.asarray(x, np.float64)
+    n = x.size
+    if n == 0:
+        return np.zeros(0, np.int64)
+    peaks = []
+    last = -np.inf
+    for i in range(n):
+        # librosa computes the window max with mode="constant" (cval=0.0)
+        # and the window mean with mode="nearest" edge replication
+        w = x[max(i - pre_max, 0) : min(i + post_max, n)]
+        mov_max = w.max() if w.size else 0.0
+        if w.size < pre_max + post_max:  # ran off an edge: 0-padding joins
+            mov_max = max(mov_max, 0.0)
+        idx = np.clip(np.arange(i - pre_avg, i + post_avg), 0, n - 1)
+        mov_avg = x[idx].mean()
+        if x[i] == mov_max and x[i] >= mov_avg + delta and i > last + wait:
+            peaks.append(i)
+            last = i
+    return np.asarray(peaks, np.int64)
 
 
 def audio_beats_from_waveform(
     waveform: np.ndarray, sr: int = 16_000, fps: float = 30.0
 ) -> np.ndarray:
-    """Onset times (seconds) from spectral flux peaks of the mel fbank."""
+    """Onset times (seconds): librosa-construction onsets on the Kaldi mel.
+
+    envelope[k] compares fbank frames k+1 and k, and librosa reports the
+    onset at the envelope index, i.e. the frame BEFORE the energy rise
+    lands; times are (k+1) * hop so the beat sits on the risen frame.
+    """
     import jax.numpy as jnp  # local: host-side helper, small input
 
     from amuse_tpu.audio import fbank as fb
@@ -76,32 +149,40 @@ def audio_beats_from_waveform(
     wave = np.asarray(waveform, np.float32)
     if wave.ndim == 2:
         wave = wave[0]
-    mel = np.asarray(fb.fbank(jnp.asarray(wave)))  # (T, 128), 100 fps
-    flux = np.maximum(np.diff(np.exp(mel), axis=0), 0).sum(axis=1)
-    if flux.size == 0:
+    mel = np.asarray(fb.fbank(jnp.asarray(wave)))  # (T, 128) ln-power, 100 fps
+    env = onset_envelope(mel)
+    if env.size == 0:
         return np.zeros(0)
-    flux = (flux - flux.mean()) / (flux.std() + 1e-8)
-    thresh = 0.5
-    peaks = []
-    for i in range(1, len(flux) - 1):
-        if flux[i] > thresh and flux[i] >= flux[i - 1] and flux[i] >= flux[i + 1]:
-            peaks.append(i)
-    return np.asarray(peaks) * 0.01  # 10 ms fbank hop
+    return (pick_peaks(env) + 1) * 0.01  # 10 ms fbank hop
 
 
 def motion_beats_from_joints(joints: np.ndarray, fps: float = 30.0) -> np.ndarray:
-    """Beat times (seconds) = local minima of mean joint speed.
+    """Kinematic beat times (seconds), Li et al. 2021 (AIST++) construction.
 
-    joints: (T, J, 3) positions (from the SMPL-X FK) or (T, J, 3) axis-angle
-    velocities proxy - any per-frame pose signal works.
+    joints: (T, J, 3) positions (from the SMPL-X FK). Envelope = sum over
+    joints of the per-frame velocity norm; beats = strict local minima
+    within a +-order window (scipy.signal.argrelextrema(env, np.less,
+    order=10) in their code at 60 fps — order scales with fps here, min 1).
+    Velocity at frame t is joints[t] - joints[t-1], so a minimum at
+    envelope index i is the motion pause at frame i+1.
     """
-    j = np.asarray(joints)
-    vel = np.linalg.norm(np.diff(j.reshape(j.shape[0], -1), axis=0), axis=1)
-    beats = []
-    for i in range(1, len(vel) - 1):
-        if vel[i] < vel[i - 1] and vel[i] <= vel[i + 1]:
-            beats.append(i + 1)
-    return np.asarray(beats) / fps
+    j = np.asarray(joints, np.float64)
+    if j.shape[0] < 3:
+        return np.zeros(0)
+    vel = np.linalg.norm(np.diff(j, axis=0), axis=-1)  # (T-1, J)
+    env = vel.sum(axis=-1) if vel.ndim == 2 else vel
+    order = max(1, round(10.0 * fps / 60.0))
+    n = env.size
+    # argrelextrema(np.less, mode="clip") semantics: strictly smaller than
+    # every +-shift neighbor for shift 1..order, with out-of-range neighbor
+    # indices clipped to the edges (so edge points self-compare and are
+    # never extrema, but near-edge minima ARE detectable)
+    idx = np.arange(n)
+    keep = np.ones(n, bool)
+    for shift in range(1, order + 1):
+        keep &= env < env[np.clip(idx + shift, 0, n - 1)]
+        keep &= env < env[np.clip(idx - shift, 0, n - 1)]
+    return (np.flatnonzero(keep) + 1.0) / fps
 
 
 def beat_alignment(

@@ -74,7 +74,7 @@ def evaluate_cache(
     batch_size = max(1, min(batch_size, n))
     real_feats, gen_feats = [], []
     real_emb, gen_emb = [], []
-    ape_vals, ave_vals, beat_scores = [], [], []
+    ape_vals, ave_vals, beat_scores, beat_scores_real = [], [], [], []
     fk = make_fk(smplx_model) if smplx_model is not None else None
     emb_fn = None
     if embedder is not None:
@@ -142,6 +142,11 @@ def evaluate_cache(
                 ab = M.audio_beats_from_waveform(items[bi]["audio"])
                 mb = M.motion_beats_from_joints(np.asarray(gen_sig[bi]))
                 beat_scores.append(M.beat_alignment(mb, ab))
+                # ground-truth calibration: beat_align_gen is only
+                # interpretable next to what REAL motion scores on the same
+                # audio with the same detectors (round-3 verdict, weak #3)
+                mb_real = M.motion_beats_from_joints(np.asarray(ref_sig[bi]))
+                beat_scores_real.append(M.beat_alignment(mb_real, ab))
 
     real = jnp.asarray(np.concatenate(real_feats))
     gen = jnp.asarray(np.concatenate(gen_feats))
@@ -156,6 +161,7 @@ def evaluate_cache(
     }
     if beat_scores:
         out["beat_align_gen"] = float(np.mean(beat_scores))
+        out["beat_align_real"] = float(np.mean(beat_scores_real))
     if embedder is not None and real_emb:
         er = jnp.asarray(np.concatenate(real_emb))
         eg = jnp.asarray(np.concatenate(gen_emb))

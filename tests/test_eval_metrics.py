@@ -85,6 +85,124 @@ class TestDiversityApeAve:
         np.testing.assert_allclose(float(M.ave(gt, gt)), 0.0, atol=1e-7)
 
 
+class TestFGDOracle:
+    """Pin gaussian_frechet_distance against scipy.linalg.sqrtm (the
+    canonical FID construction) — round-3 verdict item 4."""
+
+    def _scipy_fd(self, mu1, c1, mu2, c2):
+        import scipy.linalg
+
+        covmean = scipy.linalg.sqrtm(np.asarray(c1, np.float64) @ np.asarray(c2, np.float64))
+        if np.iscomplexobj(covmean):  # numerical fuzz off the PSD cone
+            covmean = covmean.real
+        d = np.sum((np.asarray(mu1) - np.asarray(mu2)) ** 2)
+        return float(d + np.trace(c1) + np.trace(c2) - 2.0 * np.trace(covmean))
+
+    def test_matches_scipy_on_noncommuting_covariances(self):
+        # random full-rank PSD covariances that do NOT commute: the
+        # eigh-based sqrt(C1^{1/2} C2 C1^{1/2}) trace must still equal
+        # tr sqrtm(C1 C2) (similar matrices, same eigenvalues)
+        for seed in range(5):
+            rng = np.random.default_rng(seed)
+            d = 8
+            a = rng.normal(size=(d, d))
+            b = rng.normal(size=(d, d))
+            c1 = a @ a.T + 0.1 * np.eye(d)
+            c2 = b @ b.T + 0.1 * np.eye(d)
+            mu1 = rng.normal(size=d)
+            mu2 = rng.normal(size=d)
+            got = float(
+                M.gaussian_frechet_distance(
+                    jnp.asarray(mu1), jnp.asarray(c1), jnp.asarray(mu2), jnp.asarray(c2)
+                )
+            )
+            want = self._scipy_fd(mu1, c1, mu2, c2)
+            np.testing.assert_allclose(got, want, rtol=2e-4)
+
+    def test_full_fgd_matches_scipy_pipeline(self):
+        rng = np.random.default_rng(42)
+        real = rng.normal(size=(300, 6))
+        gen = 1.3 * rng.normal(size=(250, 6)) + 0.5
+        got = float(M.fgd(jnp.asarray(real, jnp.float32), jnp.asarray(gen, jnp.float32)))
+        want = self._scipy_fd(
+            real.mean(0), np.cov(real, rowvar=False), gen.mean(0), np.cov(gen, rowvar=False)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
+class TestFGDCalibration:
+    """FGD must behave like a distance on realistic feature sets."""
+
+    def test_permuted_real_set_is_zero(self):
+        rng = np.random.default_rng(0)
+        feats = rng.normal(size=(400, 16)).astype(np.float32)
+        perm = feats[rng.permutation(400)]
+        assert float(M.fgd(jnp.asarray(feats), jnp.asarray(perm))) < 1e-3
+
+    def test_split_halves_near_zero_vs_noise(self):
+        # two independent halves of one distribution score ~sampling noise;
+        # a corrupted set must score far above that floor
+        rng = np.random.default_rng(1)
+        feats = rng.normal(size=(2000, 8)).astype(np.float32)
+        floor = float(M.fgd(jnp.asarray(feats[:1000]), jnp.asarray(feats[1000:])))
+        noisy = feats[1000:] + 1.0 * rng.normal(size=(1000, 8)).astype(np.float32)
+        assert float(M.fgd(jnp.asarray(feats[:1000]), jnp.asarray(noisy))) > 10 * floor
+
+    def test_monotone_in_injected_noise(self):
+        rng = np.random.default_rng(2)
+        real = rng.normal(size=(500, 12)).astype(np.float32)
+        gen = rng.normal(size=(500, 12)).astype(np.float32)
+        noise = rng.normal(size=(500, 12)).astype(np.float32)
+        vals = [
+            float(M.fgd(jnp.asarray(real), jnp.asarray(gen + s * noise)))
+            for s in (0.0, 0.5, 1.0, 2.0)
+        ]
+        assert vals == sorted(vals), vals
+
+
+class TestBeatDetectorOracles:
+    """Pin the production detectors against the third-party reconstructions
+    (tests/thirdparty/librosa_onset.py) — the fbank-oracle discipline."""
+
+    def test_peak_pick_matches_librosa_reconstruction(self):
+        from tests.thirdparty import librosa_onset as LO
+
+        params = LO.onset_detect_default_params(sr=16000, hop_length=160)
+        # the production defaults ARE onset_detect's defaults at 10 ms hop
+        assert params == dict(
+            pre_max=3, post_max=1, pre_avg=10, post_avg=11, wait=3, delta=0.07
+        )
+        for seed in range(8):
+            rng = np.random.default_rng(seed)
+            env = np.abs(rng.normal(size=200)) * rng.uniform(0, 2)
+            want = LO.peak_pick(env, **params)
+            got = M.pick_peaks(env, **params)
+            np.testing.assert_array_equal(got, want, err_msg=f"seed {seed}")
+            assert want.size > 0  # the comparison must not be vacuous
+
+    def test_onset_envelope_matches_reconstruction(self):
+        from tests.thirdparty import librosa_onset as LO
+
+        rng = np.random.default_rng(3)
+        ln_mel = rng.normal(size=(50, 128))  # natural-log mel (fbank space)
+        mel_db = ln_mel * (10.0 / np.log(10.0))
+        want = LO.onset_strength_from_mel_db(mel_db)
+        got = M.onset_envelope(ln_mel)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_motion_beats_match_aistpp_construction(self):
+        from tests.thirdparty import librosa_onset as LO
+
+        rng = np.random.default_rng(4)
+        # smooth-ish random motion so minima are generic (no plateaus)
+        joints = np.cumsum(rng.normal(size=(120, 5, 3)), axis=0) * 0.01
+        # fps=60 -> order 10, exactly Li et al.'s published setting
+        want_idx = LO.kinematic_beats_aistpp(joints, order=10)
+        got = M.motion_beats_from_joints(joints, fps=60.0)
+        np.testing.assert_allclose(got, (want_idx + 1) / 60.0, rtol=1e-12)
+        assert want_idx.size > 0
+
+
 class TestDegenerateInputs:
     def test_fgd_single_sample_is_finite(self):
         import jax.numpy as jnp
