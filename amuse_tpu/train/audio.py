@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from amuse_tpu.models.ast import ASTConfig, ASTDisentangler
 from amuse_tpu.train import fused_adam
 from amuse_tpu.train import losses as L
+from amuse_tpu.train import prng
 
 
 @dataclass(frozen=True)
@@ -164,7 +165,11 @@ def make_train_step(
         clean = batch["fbanks"]  # (B, 4, T, F)
         b = clean.shape[0]
         quad = jnp.swapaxes(clean, 0, 1)  # (4, B, T, F)
-        rng, r_drop1, r_drop2 = jax.random.split(rng, 3)
+        rng, r_drop = jax.random.split(rng)
+        # dropout masks on the TPU hardware RNG stream (train/prng.py);
+        # SpecAugment geometry stays threefry (its draw sequence is pinned
+        # against the torchaudio reconstruction)
+        r_drop1, r_drop2 = jax.random.split(prng.dropout_key(r_drop))
 
         if cfg.noise_aug or cfg.freq_mask or cfg.time_mask:
             keys = jax.random.split(rng, 4 * b)

@@ -34,6 +34,7 @@ from amuse_tpu.models.denoiser import Denoiser, DenoiserConfig
 from amuse_tpu.models.vae import MotionPrior, PriorConfig
 from amuse_tpu.train import fused_adam
 from amuse_tpu.train import losses as L
+from amuse_tpu.train import prng
 
 
 @dataclass(frozen=True)
@@ -124,7 +125,10 @@ def make_train_step(
 
     def loss_fn(params, batch, rng):
         r_enc, r_enc2, r_t, r_noise, r_ddim, r_drop = jax.random.split(rng, 6)
-        d1, d2, d3, d4 = jax.random.split(r_drop, 4)
+        # dropout masks ride the TPU hardware RNG stream (train/prng.py):
+        # the torch-parity attention-weight dropout alone is ~208M draws
+        # per step at flagship dims, 18.5 ms of threefry on the VPU
+        d1, d2, d3, d4 = jax.random.split(prng.dropout_key(r_drop), 4)
         # trainer.py:363-376: 6D+trans features, or raw axis-angle for "3D"
         m6 = motion_mod.featurize(batch["motion"], rep, skip_trans)
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import optax
 
 from amuse_tpu.diffusion import gaussian as G
+from amuse_tpu.train import prng
 from amuse_tpu.models.raw_diffusion import RawDenoiserConfig, RawPoseDenoiser
 
 
@@ -72,7 +73,7 @@ def make_train_step(
         def model_fn(x_t, tt):
             return model.apply(
                 {"params": params}, x_t, tt, batch["con"], batch["emo"], False,
-                rngs={"dropout": jax.random.fold_in(rng, 1)},
+                rngs={"dropout": prng.dropout_key(jax.random.fold_in(rng, 1))},
             )
 
         per_sample, _ = G.training_loss(gd, model_fn, batch["motion"], t, rng, cfg.predict)

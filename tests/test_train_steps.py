@@ -42,6 +42,44 @@ def tiny_batch(b=2):
     }
 
 
+class TestDropoutStream:
+    """The hardware-RNG dropout stream (train/prng.py): dropout masks ride
+    XLA's rng-bit-generator (2.3x cheaper than threefry on the TPU VPU -
+    the torch-parity attention-weight dropout is ~208M draws/step at
+    flagship dims), while semantic draws stay threefry."""
+
+    def test_dropout_key_statistics_and_determinism(self):
+        from amuse_tpu.train import prng
+
+        k = prng.dropout_key(jax.random.key(7))
+        # usable exactly like a threefry key: split + bernoulli
+        a, b = jax.random.split(k)
+        mask = jax.random.bernoulli(a, 0.9, (20000,))
+        assert 0.88 < float(mask.mean()) < 0.92
+        # deterministic per input key, distinct across input keys
+        k2 = prng.dropout_key(jax.random.key(7))
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(k)), np.asarray(jax.random.key_data(k2))
+        )
+        k3 = prng.dropout_key(jax.random.key(8))
+        assert not np.array_equal(
+            np.asarray(jax.random.key_data(k)), np.asarray(jax.random.key_data(k3))
+        )
+
+    def test_train_step_dropout_actually_fires(self):
+        """Two different rng keys must give different losses (dropout +
+        noise active), and the same key identical losses — under jit, with
+        the rbg key derived inside the traced step."""
+        state = shared_state()
+        step = shared_step(False)
+        batch = tiny_batch()
+        _, l1 = step(state, batch, jax.random.key(1))
+        _, l1b = step(state, batch, jax.random.key(1))
+        _, l2 = step(state, batch, jax.random.key(2))
+        assert float(l1["total"]) == float(l1b["total"])
+        assert float(l1["total"]) != float(l2["total"])
+
+
 class TestGestureTrainStep:
     def test_loss_decreases_and_params_update(self):
         state = shared_state()
