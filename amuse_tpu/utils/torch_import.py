@@ -24,12 +24,35 @@ Array = np.ndarray
 SD = Mapping[str, Array]
 
 
+def strip_dataparallel_prefix(sd: Mapping) -> dict:
+    """Strip a uniform leading ``module.`` iff EVERY key carries it.
+
+    ``nn.DataParallel`` wraps the whole model, so ``state_dict()`` of a
+    wrapped model prefixes every key with ``module.`` - the reference wraps
+    its stage-1 audio model exactly so (scripts/trainer.py:203-206) and
+    saves the possibly-wrapped ``state_dict()`` (trainer.py:328). Importers
+    must tolerate both layouts; the all-keys condition guarantees a bare
+    checkpoint (or one with a genuine submodule named ``module`` among
+    other top-level keys) passes through untouched.
+    """
+    if state_dict_is_dataparallel(sd):
+        plen = len("module.")
+        return {k[plen:]: v for k, v in sd.items()}
+    return dict(sd)
+
+
+def state_dict_is_dataparallel(sd: Mapping) -> bool:
+    return bool(sd) and all(k.startswith("module.") for k in sd)
+
+
 def state_dict_to_numpy(state_dict) -> dict[str, Array]:
-    """torch state_dict -> {key: float32 ndarray} (host-side, torch optional)."""
+    """torch state_dict -> {key: float32 ndarray} (host-side, torch
+    optional). Auto-unwraps a DataParallel ``module.`` layout - see
+    strip_dataparallel_prefix."""
     out = {}
     for k, v in state_dict.items():
         out[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
-    return out
+    return strip_dataparallel_prefix(out)
 
 
 def _t(w: Array) -> Array:
