@@ -230,6 +230,15 @@ def _batch_head_partitioned(fn, n_in: int, n_out: int):
     return cp
 
 
+def _vma(*xs) -> frozenset:
+    """Union of the operands' varying-manual-axes (mesh axes this value is
+    per-device-distinct over, under shard_map; frozenset() under plain jit)."""
+    out: frozenset = frozenset()
+    for x in xs:
+        out = out | getattr(jax.typeof(x), "vma", frozenset())
+    return out
+
+
 def _mha_fwd_padded_raw(q, k, v, *, length: int, interpret: bool, block_q: int):
     """Forward on pre-padded (B, H, S_pad, D) inputs; pad cols masked."""
     b, h, s_pad, d = q.shape
@@ -256,7 +265,10 @@ def _mha_fwd_padded_raw(q, k, v, *, length: int, interpret: bool, block_q: int):
             (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        # propagate the varying-manual-axes set: inside shard_map (the
+        # prepare_data frozen-AST pass) jax>=0.9 checks vma on pallas_call
+        # outputs; outside shard_map this is frozenset() and a no-op
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype, vma=_vma(q, k, v)),
         interpret=interpret,
     )(q, k, v)
 
@@ -280,9 +292,10 @@ def _mha_bwd_padded_raw(q, k, v, do, *, length: int, interpret: bool, block_q: i
         in_specs=[block(), full(), full(), block()],
         out_specs=(block(), full(), full()),
         out_shape=(
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct(k.shape, jnp.float32),  # f32 accumulators
-            jax.ShapeDtypeStruct(v.shape, jnp.float32),
+            jax.ShapeDtypeStruct(q.shape, q.dtype, vma=_vma(q, k, v, do)),
+            # f32 accumulators
+            jax.ShapeDtypeStruct(k.shape, jnp.float32, vma=_vma(q, k, v, do)),
+            jax.ShapeDtypeStruct(v.shape, jnp.float32, vma=_vma(q, k, v, do)),
         ),
         interpret=interpret,
     )(q, k, v, do)

@@ -308,13 +308,19 @@ def make_fused_sampler(
         x0 = jax.random.normal(rng, (b, 1, D), jnp.float32) * schedule.init_noise_sigma
 
         def one(cond_b, x0_b):
+            from amuse_tpu.ops.attention import _vma
+
             return pl.pallas_call(
                 lambda *refs: kernel(
                     refs[0], refs[1], refs[2], refs[3], refs[4],
                     *refs[5 : 5 + n_weights],
                     out_ref=refs[5 + n_weights],
                 ),
-                out_shape=jax.ShapeDtypeStruct((1, D), jnp.float32),
+                # vma propagation: required for pallas_call under shard_map
+                # on jax>=0.9 (check_vma), a no-op under plain jit
+                out_shape=jax.ShapeDtypeStruct(
+                    (1, D), jnp.float32, vma=_vma(cond_b, x0_b, *packed)
+                ),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (5 + n_weights),
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 interpret=interpret,

@@ -43,6 +43,77 @@ class TestFusedAttention:
         )
 
 
+class TestPallasInsideShardMap:
+    """prepare_data's frozen-AST pass runs mha_pallas INSIDE shard_map
+    (cli/main.py encode_sharded); jax>=0.9 checks varying-manual-axes on
+    pallas_call outputs there (check_vma), which the kernels must satisfy
+    by propagating the operands' vma into out_shape. This construction
+    raised ValueError on the real TPU backend before the fix (round 4)."""
+
+    def _sharded(self, fn, n_in, check_vma=True):
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+        return mesh, jax.jit(
+            jax.shard_map(
+                fn, mesh=mesh, in_specs=(P("data"),) * n_in,
+                out_specs=P("data"), check_vma=check_vma,
+            )
+        )
+
+    def _qkv(self, seed):
+        rng = jax.random.key(seed)
+        return tuple(
+            jax.random.normal(jax.random.fold_in(rng, i), (8, 2, 70, 16))
+            for i in range(3)
+        )
+
+    def test_forward_kernel_traces_under_check_vma(self):
+        """Trace-time regression: before the fix, pallas_call raised
+        'vma on jax.ShapeDtypeStruct must not be None' as soon as the
+        kernel was traced inside a checked shard_map (the compiled-TPU
+        failure mode). eval_shape runs exactly that trace on CPU."""
+        q, k, v = self._qkv(11)
+        mesh, f = self._sharded(
+            lambda a, b, c: mha_pallas(a, b, c, interpret=True), 3
+        )
+        with mesh:
+            out = jax.eval_shape(f, q, k, v)
+        assert out.shape == q.shape
+
+    def test_train_kernel_traces_under_check_vma(self):
+        q, k, v = self._qkv(12)
+
+        def local_grad(a, b, c):
+            return jax.grad(
+                lambda a: jnp.sum(
+                    mha_fused_train(a, b, c, interpret=True).astype(jnp.float32)
+                )
+            )(a)
+
+        mesh, f = self._sharded(local_grad, 3)
+        with mesh:
+            out = jax.eval_shape(f, q, k, v)
+        assert out.shape == q.shape
+
+    def test_forward_kernel_numerics_inside_shard_map(self):
+        """Numerics leg: jax's pallas HLO *interpreter* cannot yet evaluate
+        a kernel whose operands carry vma (dynamic_slice vma mismatch, a
+        jax-internal limitation of interpret mode only), so execution is
+        checked under check_vma=False; compiled TPU runs keep the check on
+        and are covered by the prepare_data path + the eval_shape tests."""
+        q, k, v = self._qkv(13)
+        mesh, f = self._sharded(
+            lambda a, b, c: mha_pallas(a, b, c, interpret=True), 3,
+            check_vma=False,
+        )
+        with mesh:
+            out = f(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(mha_reference(q, k, v)), atol=2e-5
+        )
+
+
 class TestInferenceKernelVmap:
     def test_vmap_over_stacked_encoders_pattern(self):
         """The inference pipeline vmaps attention over 3 stacked encoder
