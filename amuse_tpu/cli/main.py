@@ -560,62 +560,83 @@ def task_edit_gesture(cfg):
     pipe = _make_pipeline(cfg)
     t = cfg.test
 
+    # replication semantics (trainer.py:550): each editing task reruns
+    # replication_times times with a per-rep seed; style_Xemo additionally
+    # redraws WHICH of an emotion's two takes represents it each rep
+    # (ldm_evals.py:243's np.random.randint(2)). Same rep{N} output layout
+    # as task_infer_gesture.
+    reps = max(1, cfg.test.replication_times)
     data_root = Path(cfg.data.data_root)
-    if (t.emotion_control or t.style_transfer or t.style_xemo_transfer) and data_root.exists():
-        from amuse_tpu.data import beat, eval_sets
+    for rep in range(reps):
+        seed_r = cfg.seed + rep
+        if reps > 1:
+            print(f"[edit] replication {rep + 1}/{reps} (seed {seed_r})")
+        if (t.emotion_control or t.style_transfer or t.style_xemo_transfer) and data_root.exists():
+            import numpy as np
 
-        takes = beat.discover(data_root, Path(cfg.data.mosh_root))
+            from amuse_tpu.data import beat, eval_sets
 
-        def encode_item(item):
-            return editing.encode_take(
-                pipe, item.actor, item.take, 0, item.waveform, item.motion, cfg.seed
-            )
+            takes = beat.discover(data_root, Path(cfg.data.mosh_root))
 
-        if t.emotion_control and t.actors:
-            items = eval_sets.emotion_control_set(takes, t.actors[0])
-            latents = [encode_item(i) for i in items]
-            _export_edit_results(
-                run_dir, "emotion_control", editing.emotion_control(pipe, latents, cfg.seed)
-            )
-        if t.style_transfer and len(t.actors) >= 2:
-            a1, a2 = eval_sets.style_transfer_set(takes, t.actors[0], t.actors[1], t.emotion)
-            _export_edit_results(
-                run_dir, "style_transfer",
-                editing.style_transfer(
-                    pipe, [encode_item(i) for i in a1], [encode_item(i) for i in a2], cfg.seed
-                ),
-            )
-        if t.style_xemo_transfer and len(t.actors) >= 2:
-            corners = eval_sets.style_xemo_set(
-                takes, t.actors[0], t.actors[1], "angry", t.emotion
-            )
-            enc = {k: encode_item(v) for k, v in corners.items()}
-            _export_edit_results(
-                run_dir, "style_Xemo_transfer",
-                editing.style_xemo_transfer(
-                    pipe, enc["a1_e1"], enc["a1_e2"], enc["a2_e1"], enc["a2_e2"], cfg.seed
-                ),
-            )
+            def encode_item(item):
+                return editing.encode_take(
+                    pipe, item.actor, item.take, 0, item.waveform, item.motion, seed_r
+                )
 
-    # demo path: two wavs, swap emotion (trainer.py:1037-1098)
-    demo_dir = Path("viz_dump/test/e_speech")
-    wavs = sorted(demo_dir.glob("*.wav"))
-    if len(wavs) >= 2:
-        from amuse_tpu.audio.wavio import load_wav_resampled
-        from amuse_tpu.viz.export import export_windows
+            if t.emotion_control and t.actors:
+                items = eval_sets.emotion_control_set(takes, t.actors[0])
+                latents = [encode_item(i) for i in items]
+                _export_edit_results(
+                    run_dir, f"emotion_control/rep{rep}",
+                    editing.emotion_control(pipe, latents, seed_r),
+                )
+            if t.style_transfer and len(t.actors) >= 2:
+                a1, a2 = eval_sets.style_transfer_set(takes, t.actors[0], t.actors[1], t.emotion)
+                _export_edit_results(
+                    run_dir, f"style_transfer/rep{rep}",
+                    editing.style_transfer(
+                        pipe, [encode_item(i) for i in a1], [encode_item(i) for i in a2], seed_r
+                    ),
+                )
+            if t.style_xemo_transfer and len(t.actors) >= 2:
+                try:
+                    corners = eval_sets.style_xemo_set(
+                        takes, t.actors[0], t.actors[1], "angry", t.emotion,
+                        rng=np.random.default_rng(seed_r),
+                    )
+                except FileNotFoundError as e:
+                    # a missing corner take invalidates only this task,
+                    # not the other edits in this run
+                    print(f"[edit] style_Xemo_transfer skipped: {e}")
+                else:
+                    enc = {k: encode_item(v) for k, v in corners.items()}
+                    _export_edit_results(
+                        run_dir, f"style_Xemo_transfer/rep{rep}",
+                        editing.style_xemo_transfer(
+                            pipe, enc["a1_e1"], enc["a1_e2"], enc["a2_e1"], enc["a2_e2"], seed_r
+                        ),
+                    )
 
-        out = editing.demo_emotion_swap(
-            pipe, load_wav_resampled(wavs[0]), load_wav_resampled(wavs[1]), cfg.seed
-        )
-        for name, (poses, trans) in out.items():
-            export_windows(
-                run_dir / "e_gesture" / name,
-                {"poses": poses, "trans": trans, "fps": 30.0},
-                stem=name,
+        # demo path: two wavs, swap emotion (trainer.py:1037-1098)
+        demo_dir = Path("viz_dump/test/e_speech")
+        wavs = sorted(demo_dir.glob("*.wav"))
+        if len(wavs) >= 2:
+            from amuse_tpu.audio.wavio import load_wav_resampled
+            from amuse_tpu.viz.export import export_windows
+
+            out = editing.demo_emotion_swap(
+                pipe, load_wav_resampled(wavs[0]), load_wav_resampled(wavs[1]), seed_r
             )
-        print(f"[edit] demo emotion swap -> {run_dir / 'e_gesture'}")
-    elif not (t.emotion_control or t.style_transfer or t.style_xemo_transfer):
-        print(f"[edit] no demo wavs under {demo_dir} and no cfg.test task enabled")
+            for name, (poses, trans) in out.items():
+                export_windows(
+                    run_dir / "e_gesture" / f"rep{rep}" / name,
+                    {"poses": poses, "trans": trans, "fps": 30.0},
+                    stem=name,
+                )
+            print(f"[edit] demo emotion swap -> {run_dir / 'e_gesture' / f'rep{rep}'}")
+        elif rep == 0 and not (t.emotion_control or t.style_transfer or t.style_xemo_transfer):
+            print(f"[edit] no demo wavs under {demo_dir} and no cfg.test task enabled")
+            break
 
 
 def task_eval_gesture(cfg):

@@ -47,35 +47,68 @@ def emotion_control_set(
     takes: list[beat_mod.Take], actor: str, emotions: Optional[list[str]] = None
 ) -> list[EvalItem]:
     """One actor, first take of each requested emotion (ldm_evals
-    emotion_control_dict: per-take cross-wiring happens in infer.editing)."""
+    emotion_control_dict: per-take cross-wiring happens in infer.editing).
+
+    Emotions whose take is absent from the tree are skipped with a warning
+    (the reference KeyErrors deep inside process_loader instead)."""
+    import warnings
+
     emotions = emotions or list(PRETRAINED_TAKES)
     items = []
     for emo in emotions:
         t = _find(takes, actor, takes_for_emotion(emo)[0])
         if t is not None:
             items.append(_load_item(t, emo))
+        else:
+            warnings.warn(
+                f"emotion_control_set: take {takes_for_emotion(emo)[0]} "
+                f"({emo}) missing for actor {actor}; emotion skipped",
+                stacklevel=2,
+            )
     return items
 
 
 def style_transfer_set(
     takes: list[beat_mod.Take], actor1: str, actor2: str, emotion: str
 ) -> tuple[list[EvalItem], list[EvalItem]]:
-    """Two actors x the two takes of one emotion (style_transfer_dict)."""
+    """Two actors x the two takes of one emotion (style_transfer_dict).
+
+    An actor with fewer than both takes present contributes what exists
+    (warned); infer.editing.style_transfer pairs the min of the two lists."""
+    import warnings
+
     t1, t2 = takes_for_emotion(emotion)
     a1 = [_load_item(_find(takes, actor1, t), emotion) for t in (t1, t2) if _find(takes, actor1, t)]
     a2 = [_load_item(_find(takes, actor2, t), emotion) for t in (t1, t2) if _find(takes, actor2, t)]
+    for actor, found in ((actor1, a1), (actor2, a2)):
+        if len(found) < 2:
+            warnings.warn(
+                f"style_transfer_set: actor {actor} has {len(found)}/2 "
+                f"{emotion} takes ({t1}, {t2}) in the tree",
+                stacklevel=2,
+            )
     return a1, a2
 
 
 def style_xemo_set(
-    takes: list[beat_mod.Take], actor1: str, actor2: str, emotion1: str, emotion2: str
+    takes: list[beat_mod.Take], actor1: str, actor2: str, emotion1: str, emotion2: str,
+    rng: Optional[np.random.Generator] = None,
 ) -> dict[str, EvalItem]:
     """Two actors x two emotions -> the 4-corner dict (style_Xemo_transfer_dict).
 
     Keys: a1_e1, a1_e2, a2_e1, a2_e2; the straight emo+sty swap across the
     diagonal happens in infer.editing.style_xemo_transfer.
+
+    ``rng`` reproduces the reference's per-replication take draw
+    (``train_takes_dict[emo][np.random.randint(2)]``, ldm_evals.py:243):
+    each rep samples which of an emotion's two takes represents it. Without
+    rng the first take is used (deterministic single-shot behaviour).
     """
-    t_e1, t_e2 = takes_for_emotion(emotion1)[0], takes_for_emotion(emotion2)[0]
+    if rng is None:
+        t_e1, t_e2 = takes_for_emotion(emotion1)[0], takes_for_emotion(emotion2)[0]
+    else:
+        t_e1 = takes_for_emotion(emotion1)[int(rng.integers(2))]
+        t_e2 = takes_for_emotion(emotion2)[int(rng.integers(2))]
     out = {}
     for key, actor, take, emo in [
         ("a1_e1", actor1, t_e1, emotion1),

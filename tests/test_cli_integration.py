@@ -156,7 +156,7 @@ def test_edit_gesture_emotion_control(beat_tree, tmp_path, monkeypatch):
     )
     monkeypatch.chdir(tmp_path)  # keep the demo-path viz_dump probe local
     cli.task_edit_gesture(cfg)
-    outs = sorted((tmp_path / "runs").glob("*/emotion_control/*/*/seq_*/*.npz"))
+    outs = sorted((tmp_path / "runs").glob("*/emotion_control/rep0/*/*/seq_*/*.npz"))
     assert outs, "no emotion_control npz exported"
     d = np.load(outs[0])
     assert d["poses"].shape == (300, 55, 3)
