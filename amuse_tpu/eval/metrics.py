@@ -229,3 +229,99 @@ def ave(gt: jax.Array, pred: jax.Array) -> jax.Array:
     var_gt = jnp.var(gt, axis=-3)
     var_pred = jnp.var(pred, axis=-3)
     return jnp.mean(jnp.abs(var_gt - var_pred))
+
+
+# ------------------------------------------- R-precision / matching score
+#
+# The TM2T-family retrieval metrics of the reference's dead
+# val_metrics.py:277-316 (imported nowhere upstream; round-3 verdict
+# "missing #4"). Semantics preserved exactly: shuffle the N matched
+# (condition, motion) embedding pairs, split into groups of ``r_size``
+# (tail dropped, as upstream), compute the euclidean distance matrix
+# between conditions and motions inside each group; matching score = mean
+# over matched pairs of their distance (dist_mat.trace()/R_count);
+# R-precision top-k = fraction of rows whose matched column ranks in the
+# k nearest.
+#
+# Upstream assumes an external joint embedding space (TM2T's
+# contrastively-trained text/motion encoders, never shipped). Here the
+# joint space comes from :func:`fit_linear_probe`: a closed-form
+# least-squares map from audio-conditioning features onto the motion
+# embedding space, fit on GROUND-TRUTH pairs only. gt_R_precision then
+# measures how identifiable real motion is from its audio under a linear
+# probe, and R_precision (gen) whether generated motion is as identifiable
+# - the same gen-vs-gt calibration pairing upstream reports.
+
+
+def euclidean_distance_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(N, D) x (M, D) -> (N, M) pairwise euclidean distances.
+
+    Same expansion as the reference's euclidean_distance_matrix
+    (|a|^2 - 2ab + |b|^2), clamped at zero before the sqrt.
+    """
+    d2 = (
+        jnp.sum(a * a, axis=1, keepdims=True)
+        - 2.0 * (a @ b.T)
+        + jnp.sum(b * b, axis=1)[None, :]
+    )
+    return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
+def fit_linear_probe(
+    cond: jax.Array, motion: jax.Array, l2: float = 1e-3
+) -> jax.Array:
+    """Ridge map W: [cond, 1] @ W ~= motion, fit in closed form.
+
+    cond (N, Dc), motion (N, Dm) -> W (Dc+1, Dm). Apply with
+    :func:`apply_linear_probe`. The small l2 keeps the normal equations
+    well-posed when N < Dc (smoke-test regimes).
+    """
+    x = jnp.concatenate([cond, jnp.ones((cond.shape[0], 1), cond.dtype)], axis=1)
+    gram = x.T @ x + l2 * jnp.eye(x.shape[1], dtype=cond.dtype)
+    return jnp.linalg.solve(gram, x.T @ motion)
+
+
+def apply_linear_probe(w: jax.Array, cond: jax.Array) -> jax.Array:
+    x = jnp.concatenate([cond, jnp.ones((cond.shape[0], 1), cond.dtype)], axis=1)
+    return x @ w
+
+
+def r_precision_suite(
+    cond_emb: jax.Array,  # (N, D) condition embeddings, row i matches row i
+    motion_emb: jax.Array,  # (N, D) motion embeddings in the SAME space
+    r_size: int = 32,  # reference R_size (val_metrics.py:205)
+    top_k: int = 3,  # reference top_k (val_metrics.py:204)
+    seed: int = 0,
+) -> dict[str, float]:
+    """-> {matching_score, r_precision_top_1..top_k, r_count}.
+
+    Requires N >= r_size (upstream asserts count_seq > R_size); the tail
+    N % r_size pairs are dropped exactly as upstream's grouping does.
+    """
+    n = int(cond_emb.shape[0])
+    if n < r_size:
+        raise ValueError(f"need at least r_size={r_size} pairs, got {n}")
+    perm = np.random.default_rng(seed).permutation(n)  # upstream randperm
+    n_groups = n // r_size
+    keep = perm[: n_groups * r_size]
+    c = jnp.asarray(cond_emb)[keep].reshape(n_groups, r_size, -1)
+    m = jnp.asarray(motion_emb)[keep].reshape(n_groups, r_size, -1)
+
+    def per_group(cg, mg):
+        dist = euclidean_distance_matrix(cg, mg)  # (R, R)
+        match = jnp.trace(dist)
+        # rank of the matched column per row: # of columns strictly nearer
+        d_match = jnp.diagonal(dist)
+        rank = jnp.sum(dist < d_match[:, None], axis=1)
+        # top-k counts: rank < k (upstream calculate_top_k on argsort)
+        topk = jnp.sum(rank[None, :] < jnp.arange(1, top_k + 1)[:, None], axis=1)
+        return match, topk
+
+    matches, topks = jax.vmap(per_group)(c, m)
+    r_count = n_groups * r_size
+    out = {"matching_score": float(jnp.sum(matches) / r_count),
+           "r_count": float(r_count)}
+    total_topk = jnp.sum(topks, axis=0)
+    for k in range(top_k):
+        out[f"r_precision_top_{k + 1}"] = float(total_topk[k] / r_count)
+    return out

@@ -72,7 +72,7 @@ def evaluate_cache(
         return {"num_windows": 0.0, "error": "empty window cache"}
     # smaller caches than one batch must still evaluate (smoke-test trees)
     batch_size = max(1, min(batch_size, n))
-    real_feats, gen_feats = [], []
+    real_feats, gen_feats, cond_feats = [], [], []
     real_emb, gen_emb = [], []
     ape_vals, ave_vals, beat_scores, beat_scores_real = [], [], [], []
     fk = make_fk(smplx_model) if smplx_model is not None else None
@@ -109,6 +109,9 @@ def evaluate_cache(
         # canonical embedding)
         z_real = pipe.encode_motion_mu(pipe.motion_feats(motion))  # (B, 1, 128)
         real_feats.append(np.asarray(z_real[:, 0]))
+        cond_feats.append(np.concatenate(
+            [np.asarray(con), np.asarray(emo), np.asarray(sty)], axis=-1
+        ))
 
         latents = pipe.generate_latents(k_gen, con, emo, sty)
         gen_feats.append(np.asarray(latents[:, 0]))
@@ -167,4 +170,28 @@ def evaluate_cache(
         eg = jnp.asarray(np.concatenate(gen_emb))
         out["fgd_embedder"] = float(M.fgd(er, eg))
         out["fgd_embedder_provenance"] = embedder[2]
+
+    # TM2T-family retrieval metrics (reference val_metrics.py:277-316,
+    # dead upstream). Joint space: a closed-form linear probe from the
+    # audio conditioning (con|emo|sty, 3x256) onto the prior latent space,
+    # fit on the GROUND-TRUTH pairs of this same eval set - so
+    # *_real is an in-sample calibration ceiling and *_gen measures
+    # whether generated motion is as audio-identifiable as real motion
+    # under the identical probe. r_size follows upstream (32) when enough
+    # windows exist, else shrinks to n (labelled).
+    n_pairs = int(real.shape[0])
+    if n_pairs >= 8:
+        conds = jnp.asarray(np.concatenate(cond_feats))
+        w = M.fit_linear_probe(conds, real)
+        cond_emb = M.apply_linear_probe(w, conds)
+        r_size = min(32, n_pairs)
+        for tag, feats in (("real", real), ("gen", gen)):
+            suite = M.r_precision_suite(cond_emb, feats, r_size=r_size, seed=seed)
+            out[f"matching_score_{tag}"] = suite["matching_score"]
+            for k in (1, 2, 3):
+                out[f"r_precision_top_{k}_{tag}"] = suite[f"r_precision_top_{k}"]
+        out["r_precision_r_size"] = float(r_size)
+        out["r_precision_probe"] = (
+            "linear ridge, audio(768)->prior latent(128), fit on these GT pairs"
+        )
     return out

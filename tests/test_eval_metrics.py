@@ -211,3 +211,90 @@ class TestDegenerateInputs:
         b = jnp.asarray(np.random.default_rng(1).normal(size=(1, 8)), jnp.float32)
         v = float(M.fgd(a, b))
         assert np.isfinite(v)  # was NaN: covariance divided by n-1 = 0
+
+
+class TestRPrecision:
+    """TM2T retrieval metrics vs an independent numpy reconstruction of the
+    reference's dead val_metrics.py:277-316 (grouping, trace matching score,
+    argsort top-k)."""
+
+    @staticmethod
+    def _numpy_oracle(cond, motion, r_size, top_k, perm):
+        n_groups = cond.shape[0] // r_size
+        keep = perm[: n_groups * r_size]
+        c, m = cond[keep], motion[keep]
+        match, topk = 0.0, np.zeros(top_k)
+        for i in range(n_groups):
+            gc = c[i * r_size:(i + 1) * r_size]
+            gm = m[i * r_size:(i + 1) * r_size]
+            dist = np.sqrt(
+                np.maximum(
+                    (gc * gc).sum(1)[:, None] - 2 * gc @ gm.T + (gm * gm).sum(1)[None],
+                    0.0,
+                )
+            )
+            match += np.trace(dist)
+            order = np.argsort(dist, axis=1)  # upstream argsort + calculate_top_k
+            for row in range(r_size):
+                rank = int(np.where(order[row] == row)[0][0])
+                for k in range(top_k):
+                    if rank <= k:
+                        topk[k] += 1
+        r_count = n_groups * r_size
+        out = {"matching_score": match / r_count, "r_count": float(r_count)}
+        for k in range(top_k):
+            out[f"r_precision_top_{k + 1}"] = topk[k] / r_count
+        return out
+
+    def test_matches_numpy_oracle(self):
+        rng = np.random.default_rng(7)
+        n, d, r_size, seed = 70, 16, 32, 3
+        cond = rng.normal(size=(n, d)).astype(np.float32)
+        # correlated motion so retrieval is non-trivial but imperfect
+        motion = (cond + rng.normal(scale=1.0, size=(n, d))).astype(np.float32)
+        got = M.r_precision_suite(
+            jnp.asarray(cond), jnp.asarray(motion), r_size=r_size, seed=seed
+        )
+        perm = np.random.default_rng(seed).permutation(n)
+        want = self._numpy_oracle(cond, motion, r_size, 3, perm)
+        assert got["r_count"] == want["r_count"] == 64.0  # tail of 6 dropped
+        np.testing.assert_allclose(
+            got["matching_score"], want["matching_score"], rtol=1e-5
+        )
+        for k in (1, 2, 3):
+            assert got[f"r_precision_top_{k}"] == want[f"r_precision_top_{k}"]
+
+    def test_perfect_embeddings_top1(self):
+        rng = np.random.default_rng(1)
+        e = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)
+        out = M.r_precision_suite(e, e, r_size=32)
+        assert out["r_precision_top_1"] == 1.0
+        assert out["matching_score"] < 1e-3
+
+    def test_independent_embeddings_near_chance(self):
+        rng = np.random.default_rng(2)
+        cond = jnp.asarray(rng.normal(size=(512, 8)), jnp.float32)
+        motion = jnp.asarray(rng.normal(size=(512, 8)), jnp.float32)
+        out = M.r_precision_suite(cond, motion, r_size=32)
+        # chance level k/32; generous 3x bounds at 512 samples
+        assert out["r_precision_top_1"] < 3 / 32
+        assert out["r_precision_top_3"] < 9 / 32
+
+    def test_requires_r_size_pairs(self):
+        import pytest
+
+        e = jnp.zeros((8, 4))
+        with pytest.raises(ValueError):
+            M.r_precision_suite(e, e, r_size=32)
+
+    def test_linear_probe_recovers_exact_map(self):
+        rng = np.random.default_rng(3)
+        cond = jnp.asarray(rng.normal(size=(200, 12)), jnp.float32)
+        a = jnp.asarray(rng.normal(size=(12, 6)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+        motion = cond @ a + b
+        w = M.fit_linear_probe(cond, motion)
+        pred = M.apply_linear_probe(w, cond)
+        np.testing.assert_allclose(np.asarray(pred), np.asarray(motion), atol=2e-3)
+        out = M.r_precision_suite(pred, motion, r_size=32)
+        assert out["r_precision_top_1"] == 1.0
