@@ -135,6 +135,21 @@ class TestConfig:
 
 
 @dataclass(frozen=True)
+class VizConfig:
+    """Blender render-scene knobs (viz/blender/render_npz.py). The reference
+    hard-codes each combination as its own script under
+    models/diffusion/viz/render_smpl*.py; here they are config rows."""
+
+    # full = full-body studio (render_smpl.py), half = upper-body metallic
+    # (render_smpl_half.py), show = half with pelvis framing
+    # (render_smpl_show.py), plain = minimal sun-lit scene
+    preset: str = "full"
+    engine: str = "BLENDER_EEVEE"  # or CYCLES (render_smpl.py:141-152)
+    resolution: int = 1024  # square, render_smpl.py:63-64
+    samples: int = 0  # 0 -> engine default (EEVEE 128 taa / CYCLES 256)
+
+
+@dataclass(frozen=True)
 class EmbedderTrainConfig:
     """--fn train_embedder: the external FGD feature extractor (an AE over
     ground-truth motion windows only - see amuse_tpu/eval/embedder.py)."""
@@ -153,6 +168,7 @@ class Config:
     gesture: GestureStageConfig = GestureStageConfig()
     embedder: EmbedderTrainConfig = EmbedderTrainConfig()
     test: TestConfig = TestConfig()
+    viz: VizConfig = VizConfig()
     seed: int = 2021
     debug: bool = False
     out_dir: str = "runs"

@@ -507,14 +507,22 @@ def task_infer_gesture(cfg, wav_dir: str = "viz_dump/test/speech"):
             # mux (reference: animate_ldm_sample_v2); no-op without Blender
             from amuse_tpu.viz.export import render_windows
 
-            videos = render_windows(paths, wav_path=wav)
+            videos = render_windows(paths, wav_path=wav, **_viz_kwargs(cfg))
             if videos:
                 print(f"[infer] rendered {len(videos)} videos under {rep_dir}")
         print(f"[infer] {wav.name}: {len(paths)} windows x {reps} reps -> "
               f"{run_dir / 'gesture' / wav.stem}")
 
 
-def _export_edit_results(run_dir, task_name, results):
+def _viz_kwargs(cfg) -> dict:
+    """cfg.viz -> render_windows kwargs (scene preset/engine/res/samples)."""
+    return dict(
+        engine=cfg.viz.engine, preset=cfg.viz.preset,
+        resolution=cfg.viz.resolution, samples=cfg.viz.samples,
+    )
+
+
+def _export_edit_results(run_dir, task_name, results, viz_kwargs=None):
     from amuse_tpu.core import motion as motion_mod
     from amuse_tpu.viz.export import concat_grid, render_windows
 
@@ -532,7 +540,7 @@ def _export_edit_results(run_dir, task_name, results):
                 subject=source_key.split("_")[0],
                 stem=variant,
             )
-            vids = render_windows(paths)
+            vids = render_windows(paths, **(viz_kwargs or {}))
             if vids:
                 variant_videos.append(vids[0])
         # reference composes the variants of one source into a 2x2 / 4x2
@@ -589,6 +597,7 @@ def task_edit_gesture(cfg):
                 _export_edit_results(
                     run_dir, f"emotion_control/rep{rep}",
                     editing.emotion_control(pipe, latents, seed_r),
+                    viz_kwargs=_viz_kwargs(cfg),
                 )
             if t.style_transfer and len(t.actors) >= 2:
                 a1, a2 = eval_sets.style_transfer_set(takes, t.actors[0], t.actors[1], t.emotion)
@@ -597,6 +606,7 @@ def task_edit_gesture(cfg):
                     editing.style_transfer(
                         pipe, [encode_item(i) for i in a1], [encode_item(i) for i in a2], seed_r
                     ),
+                    viz_kwargs=_viz_kwargs(cfg),
                 )
             if t.style_xemo_transfer and len(t.actors) >= 2:
                 try:
@@ -615,6 +625,7 @@ def task_edit_gesture(cfg):
                         editing.style_xemo_transfer(
                             pipe, enc["a1_e1"], enc["a1_e2"], enc["a2_e1"], enc["a2_e2"], seed_r
                         ),
+                        viz_kwargs=_viz_kwargs(cfg),
                     )
 
         # demo path: two wavs, swap emotion (trainer.py:1037-1098)
@@ -782,8 +793,9 @@ def task_render_gt(cfg):
         print(f"[render_GT] no MoSh npz under {cfg.data.mosh_root}")
         return
     n_vid = 0
+    vk = _viz_kwargs(cfg)
     for stem, wav, paths in items:
-        videos = render_windows(paths, wav_path=wav)
+        videos = render_windows(paths, wav_path=wav, **vk)
         n_vid += len(videos)
         print(f"[render_GT] {stem}: {len(paths)} windows, {len(videos)} videos")
     if not have_binary("blender"):
@@ -818,10 +830,11 @@ def task_render_baselines(cfg):
             stem = npz_path.stem
             paths = _slice_window_npzs(cfg, npz_path, run_dir / method.name)
             wav, gt_paths = gt_items.get(stem, (None, []))
-            base_videos = render_windows(paths, wav_path=wav)
+            base_videos = render_windows(paths, wav_path=wav, **_viz_kwargs(cfg))
             if stem not in gt_rendered:
                 gt_rendered[stem] = (
-                    render_windows(gt_paths, wav_path=wav) if gt_paths else []
+                    render_windows(gt_paths, wav_path=wav, **_viz_kwargs(cfg))
+                    if gt_paths else []
                 )
             gt_videos = gt_rendered[stem]
             for i, (gv, bv) in enumerate(zip(gt_videos, base_videos)):

@@ -70,8 +70,27 @@ def have_binary(name: str) -> bool:
     return shutil.which(name) is not None
 
 
+def blender_argv(
+    npz_path, out_video, render_script, fps: float = 30.0,
+    engine: str = "BLENDER_EEVEE", preset: str = "full",
+    resolution: int = 1024, samples: int = 0, blender_exe: str = "blender",
+) -> list[str]:
+    """The exact headless-Blender command line for one npz render.
+
+    Arg order matches viz/blender/render_npz.py::parse_argv; ``preset``
+    selects the studio scene variant that upstream shipped as five separate
+    scripts (render_smpl{,_half,_show,...}.py)."""
+    return [
+        blender_exe, "-b", "-P", str(render_script), "--",
+        str(npz_path), str(out_video), str(fps), engine, preset,
+        str(resolution), str(samples),
+    ]
+
+
 def render_with_blender(
-    npz_path, out_video, blender_exe: str = "blender", render_script=None, fps: float = 30.0
+    npz_path, out_video, blender_exe: str = "blender", render_script=None,
+    fps: float = 30.0, engine: str = "BLENDER_EEVEE", preset: str = "full",
+    resolution: int = 1024, samples: int = 0,
 ) -> bool:
     """Spawn Blender to render an npz -> mp4 (visualizer.py:229 pattern).
 
@@ -81,7 +100,9 @@ def render_with_blender(
     if not have_binary(blender_exe) or render_script is None:
         return False
     rc = subprocess.run(
-        [blender_exe, "-b", "-P", str(render_script), "--", str(npz_path), str(out_video), str(fps)],
+        blender_argv(npz_path, out_video, render_script, fps=fps,
+                     engine=engine, preset=preset, resolution=resolution,
+                     samples=samples, blender_exe=blender_exe),
         capture_output=True, text=True,
     )
     if rc.returncode != 0:
@@ -158,6 +179,10 @@ def render_windows(
     window_seconds: float = 10.0,
     render_script=DEFAULT_RENDER_SCRIPT,
     fps: float = 30.0,
+    engine: str = "BLENDER_EEVEE",
+    preset: str = "full",
+    resolution: int = 1024,
+    samples: int = 0,
 ) -> list[Path]:
     """Per-window render + audio-mux orchestration (animate_ldm_sample_v2,
     visualizer.py:166-257): each seq_{i} npz -> mp4 next to it, with the
@@ -182,7 +207,10 @@ def render_windows(
     for npz in paths:
         i = window_index(npz)
         raw = npz.with_suffix(".mp4")
-        if not render_with_blender(npz, raw, render_script=render_script, fps=fps):
+        if not render_with_blender(
+            npz, raw, render_script=render_script, fps=fps, engine=engine,
+            preset=preset, resolution=resolution, samples=samples,
+        ):
             continue  # best-effort PER WINDOW: one failed render must not
             # abandon the remaining windows
         if wav_path is not None and mux_audio(

@@ -253,7 +253,7 @@ class TestReviewRegressions:
         })
         calls = []
         monkeypatch.setattr(export, "render_windows",
-                            lambda paths, wav_path=None: calls.append(
+                            lambda paths, wav_path=None, **viz: calls.append(
                                 tuple(str(p) for p in paths)) or [])
         cli.task_render_baselines(cfg)
         gt_calls = [c for c in calls if any("/GT/" in p for p in c)]

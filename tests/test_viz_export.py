@@ -143,3 +143,85 @@ class TestShippedPresets:
         assert cfg.test.actors == ("wayne", "scott")
         cfg = load_config(None, {"test": {"actors": ["wayne", "scott"]}})
         assert cfg.test.actors == ("wayne", "scott")
+
+
+class TestRenderSceneParameterization:
+    """The one parameterized studio scene replacing the reference's five
+    near-duplicate render_smpl*.py scripts: preset table completeness, CLI
+    argv round-trip, and knob threading from cfg.viz to the blender argv."""
+
+    def _render_mod(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "render_npz", vx.DEFAULT_RENDER_SCRIPT
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)  # must import WITHOUT bpy present
+        return mod
+
+    def test_preset_table_is_complete(self):
+        m = self._render_mod()
+        for name, p in m.PRESETS.items():
+            assert set(p) == {"cam", "cam_rot_x_deg", "wall_y", "material",
+                              "armature_z"}, name
+            assert p["material"] in m.MATERIALS
+        # per-gender floor heights (render_smpl.py:40-44 npz branch)
+        assert m.FLOOR_Z["male"] == -1.42961
+        assert m.FLOOR_Z["female"] == -1.13961
+        # the half/show variants share the upper-body camera
+        assert m.PRESETS["half"]["cam"] == m.PRESETS["show"]["cam"] == (0.0, -2.5, 0.0)
+        assert m.PRESETS["show"]["armature_z"] == -0.71
+
+    def test_argv_round_trip(self):
+        m = self._render_mod()
+        argv = vx.blender_argv(
+            "a.npz", "b.mp4", "script.py", fps=25.0, engine="CYCLES",
+            preset="show", resolution=512, samples=64,
+        )
+        cfg = m.parse_argv(argv[argv.index("--") + 1:])
+        assert cfg == {"npz": "a.npz", "video": "b.mp4", "fps": 25.0,
+                       "engine": "CYCLES", "preset": "show",
+                       "resolution": 512, "samples": 64}
+
+    def test_parse_argv_defaults_and_normalization(self):
+        m = self._render_mod()
+        cfg = m.parse_argv(["x.npz", "y.mp4"])
+        assert cfg["fps"] == 30.0 and cfg["preset"] == "full"
+        assert cfg["resolution"] == 1024 and cfg["samples"] == 0
+        assert m.parse_argv(["x", "y", "30", "EEVEE"])["engine"] == "BLENDER_EEVEE"
+        with pytest.raises(ValueError):
+            m.parse_argv(["x", "y", "30", "METAL"])
+        with pytest.raises(ValueError):
+            m.parse_argv(["x", "y", "30", "CYCLES", "closeup"])
+
+    def test_viz_config_reaches_blender_argv(self, tmp_path, monkeypatch):
+        calls = []
+        monkeypatch.setattr(vx, "have_binary", lambda name: True)
+
+        def fake_run(argv, **kw):
+            calls.append(argv)
+            Path(argv[argv.index("--") + 2]).touch()
+
+            class R:
+                returncode = 0
+                stderr = ""
+
+            return R()
+
+        monkeypatch.setattr(vx.subprocess, "run", fake_run)
+        p = vx.write_smplx_npz(
+            tmp_path / "seq_0" / "x.npz", np.zeros((4, 55, 3)),
+            np.zeros((4, 3)), subject="scott",
+        )
+        vx.render_windows([p], engine="CYCLES", preset="half",
+                          resolution=256, samples=8)
+        tail = calls[0][calls[0].index("--") + 1:]
+        assert tail[3:] == ["CYCLES", "half", "256", "8"]
+
+    def test_cli_viz_block_merges(self):
+        cfg = load_config(None, overrides={
+            "viz": {"preset": "show", "engine": "CYCLES", "resolution": 512}
+        })
+        assert (cfg.viz.preset, cfg.viz.engine, cfg.viz.resolution,
+                cfg.viz.samples) == ("show", "CYCLES", 512, 0)
