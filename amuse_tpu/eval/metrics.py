@@ -286,6 +286,38 @@ def apply_linear_probe(w: jax.Array, cond: jax.Array) -> jax.Array:
     return x @ w
 
 
+def cross_fit_linear_probe(
+    cond: jax.Array,
+    motion: jax.Array,
+    n_folds: int = 4,
+    l2: float = 1e-3,
+    seed: int = 0,
+) -> jax.Array:
+    """Out-of-fold probe predictions: each row's cond_emb comes from a ridge
+    probe fit WITHOUT that row.
+
+    In-sample fitting near-interpolates whenever N < D (769-dim audio
+    features vs a few hundred eval windows), pinning r_precision_*_real at
+    ~1.0 regardless of any audio-motion relationship. K-fold cross-fitting
+    makes the *_real suite an actual audio-identifiability measurement.
+    Folds are a seeded permutation split; returns (N, Dm) predictions
+    aligned with the input rows.
+    """
+    n = int(cond.shape[0])
+    n_folds = max(2, min(n_folds, n))
+    perm = np.random.default_rng(seed).permutation(n)
+    out = np.zeros((n, motion.shape[1]), dtype=np.asarray(motion).dtype)
+    for f in range(n_folds):
+        test_idx = perm[f::n_folds]
+        train_mask = np.ones(n, dtype=bool)
+        train_mask[test_idx] = False
+        w = fit_linear_probe(
+            jnp.asarray(cond)[train_mask], jnp.asarray(motion)[train_mask], l2=l2
+        )
+        out[test_idx] = np.asarray(apply_linear_probe(w, jnp.asarray(cond)[test_idx]))
+    return jnp.asarray(out)
+
+
 def r_precision_suite(
     cond_emb: jax.Array,  # (N, D) condition embeddings, row i matches row i
     motion_emb: jax.Array,  # (N, D) motion embeddings in the SAME space
@@ -310,9 +342,18 @@ def r_precision_suite(
     def per_group(cg, mg):
         dist = euclidean_distance_matrix(cg, mg)  # (R, R)
         match = jnp.trace(dist)
-        # rank of the matched column per row: # of columns strictly nearer
+        # rank of the matched column per row: # of columns strictly nearer,
+        # plus half of the off-diagonal TIES - a strict '<' alone would hand
+        # a mode-collapsed generator (all embeddings identical, every row's
+        # distances equal) rank 0 and a perfect top-1, where upstream's
+        # argsort over duplicate values reads ~chance. Half-counting matches
+        # the expectation of a random tiebreak.
         d_match = jnp.diagonal(dist)
-        rank = jnp.sum(dist < d_match[:, None], axis=1)
+        offdiag = ~jnp.eye(dist.shape[0], dtype=bool)
+        rank = (
+            jnp.sum(dist < d_match[:, None], axis=1)
+            + 0.5 * jnp.sum((dist == d_match[:, None]) & offdiag, axis=1)
+        )
         # top-k counts: rank < k (upstream calculate_top_k on argsort)
         topk = jnp.sum(rank[None, :] < jnp.arange(1, top_k + 1)[:, None], axis=1)
         return match, topk

@@ -182,8 +182,10 @@ def evaluate_cache(
     n_pairs = int(real.shape[0])
     if n_pairs >= 8:
         conds = jnp.asarray(np.concatenate(cond_feats))
-        w = M.fit_linear_probe(conds, real)
-        cond_emb = M.apply_linear_probe(w, conds)
+        # out-of-fold predictions: with N < D an in-sample probe
+        # near-interpolates and *_real pins at ~1.0 carrying no calibration
+        # information; cross-fitting keeps every row unseen by its probe
+        cond_emb = M.cross_fit_linear_probe(conds, real, seed=seed)
         r_size = min(32, n_pairs)
         for tag, feats in (("real", real), ("gen", gen)):
             suite = M.r_precision_suite(cond_emb, feats, r_size=r_size, seed=seed)
@@ -192,6 +194,7 @@ def evaluate_cache(
                 out[f"r_precision_top_{k}_{tag}"] = suite[f"r_precision_top_{k}"]
         out["r_precision_r_size"] = float(r_size)
         out["r_precision_probe"] = (
-            "linear ridge, audio(768)->prior latent(128), fit on these GT pairs"
+            "linear ridge, audio(768)->prior latent(128), 4-fold cross-fit "
+            "on these GT pairs (out-of-fold predictions)"
         )
     return out

@@ -12,8 +12,10 @@ render_smpl_blversion.py); here each variant is a PRESETS row:
           subsurface skin, wall at y=1.5)
   half  - upper-body framing, metallic-blue material
           (render_smpl_half.py:39,120: camera (0,-2.5,0), wall at y=0.5)
-  show  - half framing with the armature dropped to keep the pelvis in
-          frame (render_smpl_show.py:105-106: -90deg X, z -= 0.71)
+  show  - half framing with the armature rotated -90deg about X and
+          dropped to z=-0.71 to keep the pelvis in frame
+          (render_smpl_show.py:105-106: rotation_euler=(-1.5708,0,0),
+          location[2]=-0.71; the floor stays at the per-gender height)
   plain - the minimal sun-lit scene this script shipped before the studio
           set existed (no floor/wall/rig; fastest; not an upstream scene)
 
@@ -35,28 +37,36 @@ Pure CPU post-processing; never part of the TPU path.
 import sys
 
 # Scene constants per preset. Values cite the upstream script they pin.
+# armature_z is an absolute z ASSIGNMENT (or None to leave the import
+# untouched) and arm_rot_x_deg the armature X rotation - upstream's show
+# variant uses -90deg where the others use +90 (render_smpl_show.py:105 vs
+# render_smpl.py:104), and sets location[2]=-0.71 while the floor stays at
+# the per-gender height.
 PRESETS = {
-    # camera xyz, camera euler-x deg, wall y, body material, armature z shift
+    # camera xyz, camera euler-x deg, wall y, body material, armature pose
     "full": {
         "cam": (0.0, -4.7, -0.35),  # render_smpl.py:38 (npz branch)
         "cam_rot_x_deg": 89.0,  # render_smpl.py:72
         "wall_y": 1.5,  # render_smpl.py:130
         "material": "skin",
-        "armature_z": 0.0,
+        "arm_rot_x_deg": 90.0,  # render_smpl.py:104
+        "armature_z": None,
     },
     "half": {
         "cam": (0.0, -2.5, 0.0),  # render_smpl_half.py:39
         "cam_rot_x_deg": 89.0,
         "wall_y": 0.5,  # render_smpl_half.py:135
         "material": "blue",  # render_smpl_half.py:120
-        "armature_z": 0.0,
+        "arm_rot_x_deg": 90.0,
+        "armature_z": None,
     },
     "show": {
         "cam": (0.0, -2.5, 0.0),
         "cam_rot_x_deg": 89.0,
         "wall_y": 0.5,
         "material": "blue",
-        "armature_z": -0.71,  # render_smpl_show.py:106
+        "arm_rot_x_deg": -90.0,  # render_smpl_show.py:105
+        "armature_z": -0.71,  # render_smpl_show.py:106 (assignment)
     },
 }
 
@@ -180,8 +190,15 @@ def build_scene(cfg):
     gender = str(data["gender"]) if "gender" in data else "neutral"
 
     # engine (render_smpl.py:141-152; CYCLES GPU is CUDA-only upstream - here
-    # it stays on whatever compute device Blender has, never a hard CUDA dep)
-    scene.render.engine = cfg["engine"]
+    # it stays on whatever compute device Blender has, never a hard CUDA dep).
+    # Blender 4.2 removed the BLENDER_EEVEE enum value (renamed
+    # BLENDER_EEVEE_NEXT), so fall back on assignment failure.
+    try:
+        scene.render.engine = cfg["engine"]
+    except TypeError:
+        if cfg["engine"] != "BLENDER_EEVEE":
+            raise
+        scene.render.engine = "BLENDER_EEVEE_NEXT"
     if cfg["engine"] == "CYCLES":
         scene.cycles.samples = cfg["samples"] or 256
         scene.cycles.subsurface_samples = cfg["samples"] or 256
@@ -208,7 +225,8 @@ def build_scene(cfg):
         bpy.context.active_object.data.energy = 3.0
 
     # animation import via the SMPL-X addon; the armature comes in Y-up and
-    # needs the +90deg X the reference applies (render_smpl.py:104)
+    # needs the per-preset X rotation (+90 render_smpl.py:104; -90 for show,
+    # render_smpl_show.py:105)
     before = set(bpy.data.objects)
     bpy.ops.object.smplx_add_animation(
         filepath=cfg["npz"], target_framerate=int(cfg["fps"])
@@ -217,16 +235,18 @@ def build_scene(cfg):
     armature = next((o for o in new if o.type == "ARMATURE"), None)
     body = next((o for o in new if o.type == "MESH"), None)
     if armature is not None:
-        armature.rotation_euler = (radians(90), 0.0, 0.0)
-        if preset and preset["armature_z"]:
-            armature.location[2] += preset["armature_z"]
+        rot_x = preset["arm_rot_x_deg"] if preset else 90.0
+        armature.rotation_euler = (radians(rot_x), 0.0, 0.0)
+        if preset and preset["armature_z"] is not None:
+            armature.location[2] = preset["armature_z"]
     if preset and body is not None:
         _set_material(body, _principled(preset["material"]))
 
     if preset:
+        # the floor stays at the per-gender height in every upstream
+        # variant, including show (render_smpl_show.py:124 uses
+        # floor_location untouched by the armature shift)
         floor_z = FLOOR_Z.get(gender, FLOOR_Z["neutral"])
-        if preset["armature_z"]:
-            floor_z += preset["armature_z"]
         _add_plane("Floor", 5, (0, 0, floor_z), mat_key="floor")
         _add_plane(
             "Wall", 5, (0, preset["wall_y"], 0),

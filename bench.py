@@ -21,16 +21,17 @@ import json
 import os
 import time
 
+from benchmarks._timing import timed_best
 
-def _timed(run, sync, iters):
-    """Median-free simple mean: queue ``iters`` programs, sync once."""
-    r = run(0)
-    sync(r)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        r = run(i)
-    sync(r)
-    return (time.perf_counter() - t0) / iters
+
+def _timed(run, sync, iters, reps=3):
+    """Best-of-reps mean-of-iters: queue ``iters`` programs per rep, sync
+    once per rep, keep the fastest rep. See benchmarks/_timing.timed_best
+    for why (the tunnel's bursty per-sync overhead poisoned small-iters
+    means through round 4: the 9.03-vs-6.70 ms ddim50 "regression" was
+    pure measurement noise)."""
+    best, _spread = timed_best(run, sync, iters=iters, reps=reps)
+    return best
 
 
 def headline():
@@ -55,7 +56,7 @@ def headline():
     dt = _timed(
         lambda i: pipe.wav_to_motion(jax.random.key(i), chunks),
         lambda out: np.asarray(out[0]),
-        iters=10,
+        iters=20,
     )
     return dt / n_windows
 
@@ -81,23 +82,35 @@ def extra_metrics(deadline: float) -> dict:
     #   *_vtex1024     = monitor + SMPL-X vertex monitors on a 1024-vertex
     #                    subsample of the full 10475-vertex body
     lpdm_configs = [
-        ("lpdm_train_step_ms_b32", dict(monitor=True, vtex=False)),
-        ("lpdm_train_step_ms_b32_monitor_free", dict(monitor=False, vtex=False)),
-        ("lpdm_train_step_ms_b32_vtex1024",
+        ("lpdm_train_step_ms_b32", 32, dict(monitor=True, vtex=False)),
+        ("lpdm_train_step_ms_b32_monitor_free", 32,
+         dict(monitor=False, vtex=False)),
+        ("lpdm_train_step_ms_b32_vtex1024", 32,
          dict(monitor=True, vtex=True, vtex_subsample=1024)),
     ]
-    for key, kw in lpdm_configs:
-        try:
-            if over_budget():
-                raise TimeoutError("bench time budget exhausted")
-            from benchmarks.train_steps import bench as lpdm_bench
 
-            dt, _ = lpdm_bench(batch_size=32, iters=5, **kw)
-            out[key] = round(dt * 1000, 2)
-            if key == "lpdm_train_step_ms_b32":
-                out["lpdm_windows_per_sec"] = round(32 / dt, 1)
-        except Exception as e:  # noqa: BLE001 - never lose the headline
-            out[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
+    def run_lpdm_legs(configs):
+        import gc
+
+        for key, b, kw in configs:
+            try:
+                if over_budget():
+                    raise TimeoutError("bench time budget exhausted")
+                from benchmarks.train_steps import bench as lpdm_bench
+
+                dt, _ = lpdm_bench(batch_size=b, iters=10, **kw)
+                out[key] = round(dt * 1000, 2)
+                if kw.get("monitor") and not kw.get("vtex"):
+                    out[f"lpdm_windows_per_sec_b{b}"] = round(b / dt, 1)
+            except Exception as e:  # noqa: BLE001 - never lose the headline
+                out[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
+            # big-batch legs otherwise fragment the 16 GB HBM for later legs
+            gc.collect()
+            jax.clear_caches()
+
+    run_lpdm_legs(lpdm_configs)
+    if "lpdm_windows_per_sec_b32" in out:  # keep the historical key name
+        out["lpdm_windows_per_sec"] = out.pop("lpdm_windows_per_sec_b32")
 
     # ---- raw denoiser sampling throughput (the steps/sec/chip metric).
     # Runs BEFORE the stage-1 step: its compile is the cheapest of the
@@ -136,14 +149,17 @@ def extra_metrics(deadline: float) -> dict:
         dt = _timed(
             lambda i: sample(jax.random.key(i)),
             lambda r: np.asarray(r[0, 0, 0]),
-            iters=10,
+            iters=50,
         )
         out["ddim50_sample_ms_b32"] = round(dt * 1000, 2)
         out["denoiser_steps_per_sec_chip"] = round(50 * b / dt)
     except Exception as e:  # noqa: BLE001
         out["denoiser_steps_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # ---- stage-1 AST swap train step (per quad)
+    # ---- stage-1 AST swap train step (per quad). Runs BEFORE the
+    # batch-scaling legs: its ViT activations need the largest contiguous
+    # HBM slab of all extras, and the r5 dry run showed b256 legs leave the
+    # 16 GB chip too fragmented for it (RESOURCE_EXHAUSTED).
     try:
         if over_budget():
             raise TimeoutError("bench time budget exhausted")
@@ -153,6 +169,20 @@ def extra_metrics(deadline: float) -> dict:
         out["stage1_step_ms_per_quad"] = round(dt * 1000, 2)
     except Exception as e:  # noqa: BLE001
         out["stage1_step_error"] = f"{type(e).__name__}: {e}"[:200]
+    import gc
+
+    gc.collect()
+    jax.clear_caches()
+
+    # ---- batch-scaling legs, LAST (round-4 verdict item 2: "batch is the
+    # step-level lever that DOES scale" now carries driver-captured
+    # numbers): the heaviest memory users degrade first on a slow day, and
+    # their fragmentation cannot hurt the legs above. Full config x batch
+    # sweep: benchmarks/batch_scaling.py -> BATCH_SCALING_r05.json.
+    run_lpdm_legs([
+        (f"lpdm_train_step_ms_b{b}", b, dict(monitor=True, vtex=False))
+        for b in (64, 128, 256)
+    ])
 
     return out
 
@@ -169,8 +199,11 @@ def main():
     }
     if os.environ.get("AMUSE_BENCH_FAST") != "1":
         # leave generous room per extra; each checks the deadline before its
-        # compile so a slow tunnel degrades to fewer extras, never to no line
-        budget = float(os.environ.get("AMUSE_BENCH_BUDGET_S", "900"))
+        # compile so a slow tunnel degrades to fewer extras, never to no
+        # line. 2400 s: ~9 extra legs x (60-120 s tunnel compile + best-of-3
+        # measurement) after the headline - 900 s lost the batch-scaling
+        # legs whenever the tunnel had a slow day
+        budget = float(os.environ.get("AMUSE_BENCH_BUDGET_S", "2400"))
         record["extra"] = extra_metrics(deadline=t0 + budget)
     print(json.dumps(record))
 

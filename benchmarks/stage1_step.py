@@ -10,13 +10,16 @@ Usage: python benchmarks/stage1_step.py [--batches 1,2,4] [--no-remat]
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+try:
+    from _timing import timed_best
+except ImportError:
+    from benchmarks._timing import timed_best
 
 from amuse_tpu.models.ast import ASTConfig
 from amuse_tpu.train.audio import AudioTrainConfig, init_state, make_train_step
@@ -33,21 +36,30 @@ def make_batch(rng: np.random.Generator, b: int, cfg: ASTConfig) -> dict:
     }
 
 
-def bench_variant(b: int, remat: bool = False, flash: bool = True, iters: int = 10) -> float:
+def bench_variant(
+    b: int, remat: bool = False, flash: bool = True, iters: int = 10,
+    reps: int = 3,
+) -> float:
     ast_cfg = ASTConfig(remat=remat, flash_attention=flash)
     tcfg = AudioTrainConfig()
     state = init_state(jax.random.key(0), tcfg, ast_cfg=ast_cfg)
     step, _ = make_train_step(tcfg, ast_cfg=ast_cfg)
     batch = make_batch(np.random.default_rng(0), b, ast_cfg)
 
-    state, logs = step(state, batch, jax.random.key(1))
-    np.asarray(logs["total"])  # sync through the tunnel
+    # best-of-reps mean-of-iters (benchmarks/_timing.timed_best): the
+    # tunnel's bursty per-sync overhead poisons small-iters means
+    holder = {"state": state, "logs": None}
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, logs = step(state, batch, jax.random.key(i))
-    np.asarray(logs["total"])
-    return (time.perf_counter() - t0) / iters
+    def run(i):
+        holder["state"], holder["logs"] = step(
+            holder["state"], batch, jax.random.key(i)
+        )
+        return holder["logs"]
+
+    dt, _spread = timed_best(
+        run, lambda logs: np.asarray(logs["total"]), iters=iters, reps=reps
+    )
+    return dt
 
 
 def main():

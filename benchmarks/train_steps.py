@@ -17,11 +17,15 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+try:
+    from _timing import timed_best
+except ImportError:
+    from benchmarks._timing import timed_best
 
 from amuse_tpu.core import smplx as smplx_mod
 from amuse_tpu.train.gesture import GestureTrainConfig, init_state, make_train_step
@@ -39,7 +43,7 @@ def make_batch(rng: np.random.Generator, b: int) -> dict:
 
 def bench(
     batch_size: int, monitor: bool, vtex: bool, iters: int, bf16: bool = False,
-    vtex_subsample: int = 0,
+    vtex_subsample: int = 0, reps: int = 3,
 ) -> tuple[float, dict]:
     from amuse_tpu.models.denoiser import DenoiserConfig
     from amuse_tpu.models.vae import PriorConfig
@@ -62,16 +66,20 @@ def bench(
     step = make_train_step(prior_cfg, den_cfg, cfg, smplx_model=model, with_monitor=monitor)
     batch = make_batch(np.random.default_rng(0), batch_size)
 
-    state, logs = step(state, batch, jax.random.key(1))
-    np.asarray(logs["total"])  # force a device->host sync through the tunnel
+    # best-of-reps mean-of-iters: the tunnel's bursty per-sync overhead
+    # poisons small-iters means (see benchmarks/_timing.timed_best)
+    holder = {"state": state, "logs": None}
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, logs = step(state, batch, jax.random.key(i))
-    np.asarray(logs["total"])
-    return (time.perf_counter() - t0) / iters, {
-        k: float(v) for k, v in logs.items()
-    }
+    def run(i):
+        holder["state"], holder["logs"] = step(
+            holder["state"], batch, jax.random.key(i)
+        )
+        return holder["logs"]
+
+    dt, _spread = timed_best(
+        run, lambda logs: np.asarray(logs["total"]), iters=iters, reps=reps
+    )
+    return dt, {k: float(v) for k, v in holder["logs"].items()}
 
 
 def main():

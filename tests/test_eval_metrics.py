@@ -287,6 +287,50 @@ class TestRPrecision:
         with pytest.raises(ValueError):
             M.r_precision_suite(e, e, r_size=32)
 
+    def test_mode_collapse_is_not_perfect(self):
+        # ADVICE r4: with strict '<' ranking, a mode-collapsed generator
+        # (all motion embeddings identical -> every row's distances equal)
+        # got rank 0 everywhere and a PERFECT top-1. Half-counted ties must
+        # read it as ~chance-or-worse, never as success.
+        rng = np.random.default_rng(4)
+        cond = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)
+        collapsed = jnp.tile(jnp.asarray(rng.normal(size=(1, 8)), jnp.float32),
+                             (64, 1))
+        out = M.r_precision_suite(cond, collapsed, r_size=32)
+        # rank = 0.5*(32-1) = 15.5 for every row -> no top-k hit at all
+        assert out["r_precision_top_1"] == 0.0
+        assert out["r_precision_top_3"] == 0.0
+
+    def test_cross_fit_probe_does_not_interpolate(self):
+        # ADVICE r4: in the N < D regime an in-sample ridge probe
+        # near-interpolates, pinning *_real at ~1.0 with no information.
+        rng = np.random.default_rng(5)
+        n, d_cond, d_mot = 64, 128, 16
+        cond = jnp.asarray(rng.normal(size=(n, d_cond)), jnp.float32)
+        motion = jnp.asarray(rng.normal(size=(n, d_mot)), jnp.float32)  # independent!
+        # the pathology: in-sample fit "identifies" unrelated motion perfectly
+        w = M.fit_linear_probe(cond, motion)
+        in_sample = M.apply_linear_probe(w, cond)
+        assert M.r_precision_suite(in_sample, motion, r_size=32)[
+            "r_precision_top_1"] > 0.9
+        # the fix: out-of-fold predictions read ~chance on independent data
+        oof = M.cross_fit_linear_probe(cond, motion)
+        out = M.r_precision_suite(oof, motion, r_size=32)
+        assert out["r_precision_top_1"] < 4 / 32
+
+    def test_cross_fit_probe_keeps_real_signal(self):
+        # ...while a genuine linear audio->motion relationship survives
+        # cross-fitting (N=256 > D=16 here, light noise)
+        rng = np.random.default_rng(6)
+        cond = jnp.asarray(rng.normal(size=(256, 16)), jnp.float32)
+        a = jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)
+        motion = cond @ a + 0.05 * jnp.asarray(
+            rng.normal(size=(256, 8)), jnp.float32
+        )
+        oof = M.cross_fit_linear_probe(cond, motion)
+        out = M.r_precision_suite(oof, motion, r_size=32)
+        assert out["r_precision_top_1"] > 0.8
+
     def test_linear_probe_recovers_exact_map(self):
         rng = np.random.default_rng(3)
         cond = jnp.asarray(rng.normal(size=(200, 12)), jnp.float32)

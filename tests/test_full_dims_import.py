@@ -141,6 +141,29 @@ def test_full_dims_import_matches_golden():
         )
 
 
+@pytest.mark.integration
+def test_hf_deit_import_matches_golden():
+    """Installed-transformers DeiTModel at base-distilled-384 dims ->
+    ImageNet->AST surgery (channel-summed conv, 24x24+2 -> 12x101 pos-emb)
+    into all three encoders -> full fused pipeline on a 10 s WAV, vs the
+    committed golden. The closest real-weights end-to-end proxy available
+    offline (VERDICT r4 item 6); the strict load_state_dict inside the
+    golden maker also fails loudly if a transformers upgrade renames keys.
+    ~3-6 min on the 1-core CPU host."""
+    from tests.goldens.make_hfdeit_golden import OUT, run_pipeline, summarize
+
+    assert OUT.exists(), "run tests/goldens/make_hfdeit_golden.py first"
+    gold = np.load(OUT)
+    poses, trans, con = run_pipeline()
+    assert poses.shape == (300, 55, 3) and trans.shape == (300, 3)
+    got = summarize(poses, trans, con)
+    for k in gold.files:
+        np.testing.assert_allclose(
+            got[k], gold[k], rtol=2e-3, atol=2e-4,
+            err_msg=f"HF-DeiT import drifted from golden at {k}",
+        )
+
+
 def test_gelu_tanh_knob_close_but_not_identical():
     """ASTConfig.gelu_tanh (perf knob) stays within ~1e-2 of the exact-erf
     parity path on a tiny encoder, and actually changes the computation."""

@@ -164,14 +164,20 @@ class TestRenderSceneParameterization:
         m = self._render_mod()
         for name, p in m.PRESETS.items():
             assert set(p) == {"cam", "cam_rot_x_deg", "wall_y", "material",
-                              "armature_z"}, name
+                              "arm_rot_x_deg", "armature_z"}, name
             assert p["material"] in m.MATERIALS
         # per-gender floor heights (render_smpl.py:40-44 npz branch)
         assert m.FLOOR_Z["male"] == -1.42961
         assert m.FLOOR_Z["female"] == -1.13961
         # the half/show variants share the upper-body camera
         assert m.PRESETS["half"]["cam"] == m.PRESETS["show"]["cam"] == (0.0, -2.5, 0.0)
+        # show: -90deg X + absolute z assignment (render_smpl_show.py:105-106);
+        # full/half: +90deg X, armature left where the addon put it
+        assert m.PRESETS["show"]["arm_rot_x_deg"] == -90.0
         assert m.PRESETS["show"]["armature_z"] == -0.71
+        assert m.PRESETS["full"]["arm_rot_x_deg"] == 90.0
+        assert m.PRESETS["full"]["armature_z"] is None
+        assert m.PRESETS["half"]["armature_z"] is None
 
     def test_argv_round_trip(self):
         m = self._render_mod()

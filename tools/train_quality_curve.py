@@ -11,9 +11,12 @@ curve as an artifact (TRAINQUALITY_r{N}.json):
   (pipeline rebuilt from the orbax checkpoints exactly as eval_gesture
   does, via AMUSE_TPU_CKPT / AMUSE_TPU_AST_CKPT).
 
-Pass criterion: fgd_embedder at the final checkpoint < at the first
-checkpoint (the embedder-space distance to ground truth shrinks as the
-LPDM fits), with the whole curve recorded for inspection.
+Pass criterion (round 5, hardened per the round-4 verdict): at EVERY
+training seed the fgd_embedder curve falls, AND every trained endpoint
+lands strictly below the best score any fresh random-weights generator
+achieves (the negative control: repeated evaluation of untrained
+generators must not show the descent, or the metric pipeline - not
+learning - would be producing it).
 
 Tiny dims (the test-suite configs) so the loop is CPU-feasible; the metric
 question - does the pipeline detect learning - is dimension-independent.
@@ -95,11 +98,90 @@ def newest_run(out_dir: Path) -> Path:
     return runs[-1]
 
 
+def run_trained_curve(work, cfg, cache, embedder, legs, epochs_per_leg, seed):
+    """One training curve at the given seed: K legs, eval after each."""
+    import dataclasses
+
+    from amuse_tpu.cli.main import TASKS, _make_pipeline
+    from amuse_tpu.eval.runner import evaluate_cache
+
+    cfg = dataclasses.replace(cfg, seed=seed)
+    curve = []
+    ckpt_dir = None
+    for leg in range(legs):
+        epochs = (leg + 1) * epochs_per_leg
+        leg_cfg = dataclasses.replace(
+            cfg,
+            gesture=dataclasses.replace(cfg.gesture, epochs=epochs),
+            resume=str(ckpt_dir) if ckpt_dir else "",
+        )
+        t0 = time.time()
+        TASKS["train_gesture"](leg_cfg)
+        run = newest_run(work / "runs")
+        ckpt_dir = run / "checkpoints"
+        os.environ["AMUSE_TPU_CKPT"] = str(ckpt_dir)
+        pipe = _make_pipeline(cfg)
+        res = evaluate_cache(pipe, cache, batch_size=8, seed=cfg.seed,
+                             embedder=embedder)
+        point = {
+            "epoch": epochs,
+            "fgd": res["fgd"],
+            "fgd_embedder": res["fgd_embedder"],
+            "diversity_gen": res["diversity_gen"],
+            "leg_seconds": round(time.time() - t0, 1),
+        }
+        curve.append(point)
+        print(f"[curve seed={seed}] {json.dumps(point)}", flush=True)
+    return curve
+
+
+def run_control_curve(work, cfg, cache, embedder, points):
+    """NEGATIVE CONTROL (round-4 verdict item 5): a sequence of FRESH
+    random-weight generators, one eval per point.
+
+    If fgd_embedder fell merely from repeated evaluation / checkpoint
+    cycling rather than from learning, it would fall here too; untrained
+    generators must hover at high fgd_embedder with no systematic descent.
+    """
+    import jax.numpy as jnp
+
+    from amuse_tpu.cli.main import _model_cfgs
+    from amuse_tpu.eval.runner import evaluate_cache
+    from amuse_tpu.infer.pipeline import GesturePipeline, init_random_params
+
+    prior_cfg, den_cfg, ast_cfg = _model_cfgs(cfg)
+    curve = []
+    for i in range(points):
+        params = init_random_params(1000 + i, prior_cfg, den_cfg, ast_cfg,
+                                    jnp.float32)
+        pipe = GesturePipeline(
+            params, prior_cfg, den_cfg, ast_cfg, jnp.float32,
+            num_inference_steps=cfg.gesture.num_inference_steps,
+            frame_based_feats=cfg.audio.frame_based_feats,
+            smplx_rep=cfg.gesture.smplx_rep,
+            skip_trans=cfg.gesture.skip_trans,
+        )
+        res = evaluate_cache(pipe, cache, batch_size=8, seed=cfg.seed,
+                             embedder=embedder)
+        point = {
+            "init_seed": 1000 + i,
+            "fgd": res["fgd"],
+            "fgd_embedder": res["fgd_embedder"],
+        }
+        curve.append(point)
+        print(f"[control] {json.dumps(point)}", flush=True)
+    return curve
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="TRAINQUALITY_r04.json")
+    ap.add_argument("--out", default="TRAINQUALITY_r05.json")
     ap.add_argument("--legs", type=int, default=6, help="eval points")
     ap.add_argument("--epochs-per-leg", type=int, default=15)
+    ap.add_argument("--seeds", default="0,1",
+                    help="comma-separated training seeds (>=2 for the "
+                         "round-5 robustness criterion)")
+    ap.add_argument("--control-points", type=int, default=4)
     ap.add_argument("--workdir", default="")
     args = ap.parse_args(argv)
 
@@ -120,7 +202,7 @@ def main(argv=None) -> int:
     cfg_path.write_text(json.dumps(cfg_json))
 
     from amuse_tpu.cli.config import load_config
-    from amuse_tpu.cli.main import TASKS, _make_pipeline, _model_cfgs
+    from amuse_tpu.cli.main import TASKS
 
     cfg = load_config(str(cfg_path), {})
     t0 = time.time()
@@ -143,56 +225,60 @@ def main(argv=None) -> int:
     from amuse_tpu.core import motion as motion_mod  # noqa: F401 (warm import)
     from amuse_tpu.data.cache import WindowCache
     from amuse_tpu.eval import embedder as emb_mod
-    from amuse_tpu.eval.runner import evaluate_cache
 
     embedder = emb_mod.load(emb_path)
     cache = WindowCache(work / "cache")
 
-    import dataclasses
-
-    curve = []
-    ckpt_dir = None
-    for leg in range(args.legs):
-        epochs = (leg + 1) * args.epochs_per_leg
-        leg_cfg = dataclasses.replace(
-            cfg,
-            gesture=dataclasses.replace(cfg.gesture, epochs=epochs),
-            resume=str(ckpt_dir) if ckpt_dir else "",
+    seeds = [int(s) for s in args.seeds.split(",") if s != ""]
+    curves = {
+        str(seed): run_trained_curve(
+            work, cfg, cache, embedder, args.legs, args.epochs_per_leg, seed
         )
-        t0 = time.time()
-        TASKS["train_gesture"](leg_cfg)
-        run = newest_run(work / "runs")
-        ckpt_dir = run / "checkpoints"
-        os.environ["AMUSE_TPU_CKPT"] = str(ckpt_dir)
-        pipe = _make_pipeline(cfg)
-        res = evaluate_cache(pipe, cache, batch_size=8, seed=cfg.seed,
-                             embedder=embedder)
-        point = {
-            "epoch": epochs,
-            "fgd": res["fgd"],
-            "fgd_embedder": res["fgd_embedder"],
-            "diversity_gen": res["diversity_gen"],
-            "leg_seconds": round(time.time() - t0, 1),
-        }
-        curve.append(point)
-        print(f"[curve] {json.dumps(point)}", flush=True)
+        for seed in seeds
+    }
+    control = run_control_curve(work, cfg, cache, embedder,
+                                args.control_points)
 
-    first, last = curve[0], curve[-1]
+    per_seed = {
+        s: {
+            "fgd_embedder_first": c[0]["fgd_embedder"],
+            "fgd_embedder_last": c[-1]["fgd_embedder"],
+            "falls": c[-1]["fgd_embedder"] < c[0]["fgd_embedder"],
+        }
+        for s, c in curves.items()
+    }
+    control_min = min(p["fgd_embedder"] for p in control)
+    control_max = max(p["fgd_embedder"] for p in control)
+    # learning is detected iff EVERY seed's curve falls AND every trained
+    # endpoint lands strictly below the best any untrained generator ever
+    # scored (the negative control keys the claim)
+    all_fall = all(v["falls"] for v in per_seed.values())
+    below_control = all(
+        v["fgd_embedder_last"] < control_min for v in per_seed.values()
+    )
     report = {
         "what": "fgd/fgd_embedder vs training epoch on the synthetic BEAT "
-        "tree (tiny dims): evidence the metric pipeline detects learning, "
-        "not just that each task runs",
+        "tree (tiny dims), at multiple seeds, against a random-weights "
+        "negative control: evidence the metric pipeline detects learning "
+        "and does not manufacture descents",
         "embedder_provenance": embedder[2],
         "num_gt_windows": len(cache),
-        "curve": curve,
-        "fgd_embedder_first": first["fgd_embedder"],
-        "fgd_embedder_last": last["fgd_embedder"],
-        "learning_detected": last["fgd_embedder"] < first["fgd_embedder"],
+        "seeds": seeds,
+        "curves": curves,
+        "per_seed": per_seed,
+        "control_curve": control,
+        "control_fgd_embedder_min": control_min,
+        "control_fgd_embedder_max": control_max,
+        "all_seeds_fall": all_fall,
+        "trained_below_all_controls": below_control,
+        "learning_detected": all_fall and below_control,
     }
     out = REPO / args.out if not Path(args.out).is_absolute() else Path(args.out)
     out.write_text(json.dumps(report, indent=1))
     print(json.dumps({k: report[k] for k in
-                      ("fgd_embedder_first", "fgd_embedder_last", "learning_detected")}))
+                      ("per_seed", "control_fgd_embedder_min",
+                       "all_seeds_fall", "trained_below_all_controls",
+                       "learning_detected")}))
     return 0 if report["learning_detected"] else 1
 
 
