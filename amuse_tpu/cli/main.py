@@ -108,14 +108,56 @@ def task_prepare_data(cfg):
         print(f"[prepare_data] WARNING: nothing under {cfg.data.data_root} - "
               "check data.data_root/data.mosh_root; not writing empty datasets")
         return
+    mesh = make_mesh()
     if not subset:
         # a poisoned 0-window manifest would short-circuit every future
-        # build (the cache is skip-if-built); don't write one
+        # build (the cache is skip-if-built); don't write one. An
+        # audio-only corpus (wavs + emotion CSVs, no MoSh) is still a
+        # valid stage-1 corpus, so fall through to the quad build below.
         print(f"[prepare_data] WARNING: takes found but no stage-2 subset - "
-              f"check data.mosh_root ({cfg.data.mosh_root}); cache not built")
+              f"check data.mosh_root ({cfg.data.mosh_root}); stage-2 cache "
+              "not built (stage-1 dataset still builds)")
+    else:
+        _build_stage2(cfg, subset, mesh)
+
+    # stage-1 quad dataset (skip-if-built like the stage-2 cache - the
+    # fbank pass is the expensive leg at BEAT scale, and the reference
+    # skips its prebuilt fbank npz the same way, dm/dm.py:413-415)
+    from amuse_tpu.data import stage1
+
+    out = Path(cfg.data.stage1_dataset)
+    provenance = stage1.takes_provenance(takes)
+    if stage1.dataset_is_current(out, provenance):
+        print(f"[prepare_data] stage-1 dataset current, skipping -> {out} "
+              "(identity-only check: delete the npz to force a rebuild "
+              "after editing a wav/CSV in place)")
         return
+
+    # the fbank pass is the expensive stage-1 leg at BEAT scale (1,941
+    # takes); shard it over the mesh data axis exactly like the stage-2
+    # AST pass (shard_map: per-chunk-independent front-end, no
+    # collectives; tests/test_stage1_dataset.py pins sharded == default)
+    from amuse_tpu.audio import fbank as fb
+
+    per_take = stage1.fbanks_per_take(takes, fbank_fn=fb.make_sharded_fbank(mesh))
+    train = stage1.build_quads(per_take, "train")
+    val = stage1.build_quads(per_take, "val")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    stage1.save_dataset(out, train, val, provenance)
+    print(
+        f"[prepare_data] stage-1 quads: train {train['emo_id'].shape[0]}, "
+        f"val {val['emo_id'].shape[0]} -> {out}"
+    )
+
+
+def _build_stage2(cfg, subset, mesh):
+    """The stage-2 window-cache leg of prepare_data (frozen-AST features)."""
+    import numpy as np
+
+    from amuse_tpu.data import cache
+    from amuse_tpu.parallel import batch_sharding
+
     pipe = _make_pipeline(cfg)
-    mesh = make_mesh()
     n_dev = mesh.devices.size
     sharding = batch_sharding(mesh)
 
@@ -155,35 +197,6 @@ def task_prepare_data(cfg):
     cache.build_stage2_cache(
         subset, Path(cfg.data.cache_dir), encode_sharded,
         window_frames=cfg.data.window_frames, ast_source=ast_source,
-    )
-
-    # stage-1 quad dataset (skip-if-built like the stage-2 cache - the
-    # fbank pass is the expensive leg at BEAT scale, and the reference
-    # skips its prebuilt fbank npz the same way, dm/dm.py:413-415)
-    from amuse_tpu.data import stage1
-
-    out = Path(cfg.data.stage1_dataset)
-    provenance = stage1.takes_provenance(takes)
-    if stage1.dataset_is_current(out, provenance):
-        print(f"[prepare_data] stage-1 dataset current, skipping -> {out} "
-              "(identity-only check: delete the npz to force a rebuild "
-              "after editing a wav/CSV in place)")
-        return
-
-    # the fbank pass is the expensive stage-1 leg at BEAT scale (1,941
-    # takes); shard it over the mesh data axis exactly like the stage-2
-    # AST pass above (shard_map: per-chunk-independent front-end, no
-    # collectives; tests/test_stage1_dataset.py pins sharded == default)
-    from amuse_tpu.audio import fbank as fb
-
-    per_take = stage1.fbanks_per_take(takes, fbank_fn=fb.make_sharded_fbank(mesh))
-    train = stage1.build_quads(per_take, "train")
-    val = stage1.build_quads(per_take, "val")
-    out.parent.mkdir(parents=True, exist_ok=True)
-    stage1.save_dataset(out, train, val, provenance)
-    print(
-        f"[prepare_data] stage-1 quads: train {train['emo_id'].shape[0]}, "
-        f"val {val['emo_id'].shape[0]} -> {out}"
     )
 
 
