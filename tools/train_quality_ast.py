@@ -119,7 +119,11 @@ def build_tree(root: Path) -> None:
 
 
 CFG = {
-    "audio": {"ast_embed_dim": 32, "ast_depth": 2, "ast_heads": 2,
+    # depth 1 / embed 16: the exact tiny-AST shape train_quality_curve.py
+    # already compiles on this host — depth 2 sent the XLA *CPU* backend's
+    # compile of the 16-reconstruction train step past 30 min (measured),
+    # a compile-time artifact of the backend, not a model property
+    "audio": {"ast_embed_dim": 16, "ast_depth": 1, "ast_heads": 2,
               "ast_feature_dim": 16, "batch_size": 8,
               "learning_rate": 3e-4, "lr_decay_start_epoch": 1000},
     "gesture": {"latent_dim": 16, "ff_size": 32, "num_layers": 3,
@@ -186,7 +190,7 @@ def main(argv=None) -> int:
         "learnable factor structure (emotion=carrier freq, actor=AM rate, "
         "take=shared content envelope): emo/person accuracies vs epoch and "
         "the content-alignment loss, from the CLI's own metrics.jsonl",
-        "dims": "tiny AST (embed 32, depth 2) - the 1-core CPU host cannot "
+        "dims": "tiny AST (embed 16, depth 1) - the 1-core CPU host cannot "
         "compile the flagship ViT; the flagship step runs on the TPU (see "
         "verify recipe). The metric question is dimension-independent.",
         "n_emotions": n_emotions,
