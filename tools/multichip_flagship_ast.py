@@ -35,8 +35,14 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="MULTICHIP_FLAGSHIP_AST_r05.json")
     ap.add_argument("--n-devices", type=int, default=8)
-    ap.add_argument("--full", type=int, default=1,
-                    help="1 = depth-12 mesh leg (AMUSE_FLAGSHIP_AST_FULL)")
+    ap.add_argument("--full", type=int, default=0,
+                    help="1 = depth-12 mesh leg (AMUSE_FLAGSHIP_AST_FULL). "
+                         "Measured r5: depth 12 x 2 quads OOMs the 125 GB "
+                         "host; prefer --depth.")
+    ap.add_argument("--depth", type=int, default=8,
+                    help="mesh-leg depth (AMUSE_FLAGSHIP_AST_DEPTH): the "
+                         "deepest-that-fits sharded proof; leg B still runs "
+                         "full depth 12 single-device")
     args = ap.parse_args(argv)
 
     jsonl = Path(tempfile.mkstemp(prefix="flagship_ast_", suffix=".jsonl")[1])
@@ -44,6 +50,8 @@ def main(argv=None) -> int:
     os.environ["AMUSE_DRYRUN_JSONL"] = str(jsonl)
     if args.full:
         os.environ["AMUSE_FLAGSHIP_AST_FULL"] = "1"
+    elif args.depth:
+        os.environ["AMUSE_FLAGSHIP_AST_DEPTH"] = str(args.depth)
 
     import __graft_entry__ as g
 
@@ -61,12 +69,16 @@ def main(argv=None) -> int:
         "rc": rc,
         "ok": rc == 0,
         "what": (
-            f"dryrun_multichip_flagship_ast({args.n_devices}) with "
-            f"AMUSE_FLAGSHIP_AST_FULL={int(bool(args.full))}: stage-1 AST "
-            "step at FLAGSHIP dims on the virtual CPU mesh (see "
-            "__graft_entry__.py docstring); full mode runs the ONE-program "
-            "proof - depth 12 ON the mesh - which subsumes the old "
-            "single-device leg B"
+            f"dryrun_multichip_flagship_ast({args.n_devices}): stage-1 AST "
+            "step at FLAGSHIP token/feature dims (fbank 1024x128 -> 1214 "
+            "tokens, embed 768, 3 encoders, 16 batched reconstructions, "
+            "fwd+bwd, grad psum) on the virtual CPU mesh. Leg A shards "
+            f"depth {args.depth if not args.full else 12} over the mesh "
+            "(deepest that fits the 125 GB host under XLA CPU-backend "
+            "memory retention; depth 12 x 2 quads was measured to OOM); "
+            "leg B runs the FULL depth-12 program single-device. All "
+            "blocks are identical, so the sharded leg exercises every "
+            "shape/padding/collective interaction of the full model."
         ),
     }
     if err:
