@@ -9,8 +9,9 @@ budget (>1 means faster than target).
 
 The ``extra`` dict captures the training-side numbers that previously lived
 only in docs/PARITY.md: the LPDM (stage-2) train step at flagship batch 32
-including its 50-step DDIM monitor, the stage-1 AST swap step per quad, and
-raw denoiser sampling throughput. Set AMUSE_BENCH_FAST=1 to skip extras.
+including its 50-step DDIM monitor, the stage-1 AST swap step per quad, raw
+denoiser sampling throughput, batched-inference serving throughput, and the
+LPDM batch-scaling sweep. Set AMUSE_BENCH_FAST=1 to skip extras.
 
 Prints exactly one JSON line.
 """
@@ -74,6 +75,36 @@ def extra_metrics(deadline: float) -> dict:
     def over_budget() -> bool:
         return time.monotonic() > deadline
 
+    def guarded(key, fn):
+        """Run one leg; record errors under <key>_error instead of dying.
+
+        A RESOURCE_EXHAUSTED gets ONE retry after dropping caches and a
+        pause: the shared tunnel chip can carry residual HBM from killed
+        sessions (observed r5: stage-1 + batch legs OOM on a chip that
+        fits them when clean), and a later server-side cleanup sometimes
+        frees it. The retry costs budget only when the first attempt
+        already failed.
+        """
+        import gc
+
+        try:
+            if over_budget():
+                raise TimeoutError("bench time budget exhausted")
+            fn()
+            return
+        except Exception as e:  # noqa: BLE001 - never lose the headline
+            err = e
+        if "RESOURCE_EXHAUSTED" in str(err) and not over_budget():
+            gc.collect()
+            jax.clear_caches()
+            time.sleep(30)
+            try:
+                fn()
+                return
+            except Exception as e:  # noqa: BLE001
+                err = e
+        out[key + "_error"] = f"{type(err).__name__}: {err}"[:200]
+
     # ---- LPDM (stage-2) train step, batch 32: every config the docs quote,
     # so STATUS/PARITY numbers reconcile 1:1 against this driver artifact.
     #   *_monitor      = with the 50-step DDIM generation monitor (no vertex)
@@ -93,17 +124,15 @@ def extra_metrics(deadline: float) -> dict:
         import gc
 
         for key, b, kw in configs:
-            try:
-                if over_budget():
-                    raise TimeoutError("bench time budget exhausted")
+            def leg(key=key, b=b, kw=kw):
                 from benchmarks.train_steps import bench as lpdm_bench
 
                 dt, _ = lpdm_bench(batch_size=b, iters=10, **kw)
                 out[key] = round(dt * 1000, 2)
                 if kw.get("monitor") and not kw.get("vtex"):
                     out[f"lpdm_windows_per_sec_b{b}"] = round(b / dt, 1)
-            except Exception as e:  # noqa: BLE001 - never lose the headline
-                out[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
+
+            guarded(key, leg)
             # big-batch legs otherwise fragment the 16 GB HBM for later legs
             gc.collect()
             jax.clear_caches()
@@ -117,9 +146,7 @@ def extra_metrics(deadline: float) -> dict:
     # extras, while the ViT stack's is the most expensive - with three LPDM
     # configs above, a slow tunnel used to exhaust the budget here (r4 dry
     # run) and lose this number. Now only stage-1 degrades on a slow day.
-    try:
-        if over_budget():
-            raise TimeoutError("bench time budget exhausted")
+    def ddim_leg():
         from amuse_tpu.diffusion.sampler import ddim_sample
         from amuse_tpu.diffusion.schedulers import make_schedule
         from amuse_tpu.models.denoiser import Denoiser, DenoiserConfig
@@ -153,24 +180,49 @@ def extra_metrics(deadline: float) -> dict:
         )
         out["ddim50_sample_ms_b32"] = round(dt * 1000, 2)
         out["denoiser_steps_per_sec_chip"] = round(50 * b / dt)
-    except Exception as e:  # noqa: BLE001
-        out["denoiser_steps_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    guarded("denoiser_steps", ddim_leg)
+
+    # ---- batched inference throughput (the SERVING metric). The headline
+    # is the latency of ONE 10 s window; a production server batches
+    # windows, and the same fused program at batch 32 amortizes dispatch
+    # and fills the MXU. realtime_factor = seconds of audio rendered per
+    # second of chip time (10 s x windows/s).
+    def serving_leg():
+        from amuse_tpu.infer.pipeline import GesturePipeline, init_random_params
+
+        params = init_random_params(seed=0)
+        pipe = GesturePipeline(params)
+        b = 32
+        rng = np.random.default_rng(0)
+        chunks = jnp.asarray(
+            rng.normal(scale=0.05, size=(b, 160000)).astype(np.float32)
+        )
+        dt = _timed(
+            lambda i: pipe.wav_to_motion(jax.random.key(i), chunks),
+            lambda o: np.asarray(o[0]),
+            iters=10,
+        )
+        out["infer_windows_per_sec_b32"] = round(b / dt, 1)
+        out["infer_realtime_factor_b32"] = round(10.0 * b / dt, 1)
+
+    guarded("infer_throughput", serving_leg)
+    import gc
+
+    gc.collect()
+    jax.clear_caches()
 
     # ---- stage-1 AST swap train step (per quad). Runs BEFORE the
     # batch-scaling legs: its ViT activations need the largest contiguous
     # HBM slab of all extras, and the r5 dry run showed b256 legs leave the
     # 16 GB chip too fragmented for it (RESOURCE_EXHAUSTED).
-    try:
-        if over_budget():
-            raise TimeoutError("bench time budget exhausted")
+    def stage1_leg():
         from benchmarks.stage1_step import bench_variant
 
         dt = bench_variant(b=1, iters=5)  # model defaults: fused attn, no remat
         out["stage1_step_ms_per_quad"] = round(dt * 1000, 2)
-    except Exception as e:  # noqa: BLE001
-        out["stage1_step_error"] = f"{type(e).__name__}: {e}"[:200]
-    import gc
 
+    guarded("stage1_step", stage1_leg)
     gc.collect()
     jax.clear_caches()
 
