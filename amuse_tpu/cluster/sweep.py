@@ -99,6 +99,36 @@ class ASHA:
         self.rng = np.random.default_rng(seed)
         self.trials: list[Trial] = []
         self.out_file = Path(out_file) if out_file else None
+        self._replay_ledger()
+
+    def _replay_ledger(self) -> None:
+        """Resume from the JSONL ledger: completed units replay into
+        ``self.trials`` (in-flight work at crash time is simply redone), and
+        the config-sampling RNG stream is advanced past the configs already
+        drawn so a resumed sweep continues exactly where a continuous one
+        would (same seed -> same future trials)."""
+        if not self.out_file or not self.out_file.exists():
+            return
+        seen_ids: set[int] = set()
+        for line in self.out_file.read_text().splitlines():
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            self.trials.append(
+                Trial(
+                    trial_id=int(rec["trial"]),
+                    config=rec["config"],
+                    rung=int(rec["rung"]),
+                    budget=int(rec["budget"]),
+                    score=float(rec["score"]),
+                    state="completed",
+                )
+            )
+            seen_ids.add(int(rec["trial"]))
+        # each NEW trial consumed exactly one sample_config draw; promotions
+        # consumed none - burn the same number of draws
+        for _ in seen_ids:
+            sample_config(self.space, self.rng)
 
     def _record(self, trial: Trial) -> None:
         if self.out_file:

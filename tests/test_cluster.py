@@ -60,6 +60,39 @@ class TestSweep:
         assert abs(np.log(best.config["lr"]) - np.log(3e-4)) < 2.0
         assert (tmp_path / "sweep.jsonl").exists()
 
+    def test_asha_resumes_from_ledger_identically(self, tmp_path):
+        """The docstring promise 'sweeps resume across preemptions' as a
+        test: a sweep killed after N units and resumed from its JSONL must
+        produce EXACTLY the same future trials (replayed completions + the
+        config-RNG stream advanced past the draws already made) as one
+        continuous run."""
+        space = {"x": Uniform(0, 1)}
+        obj = lambda c, b, i: c["x"] / b  # noqa: E731 - deterministic
+
+        continuous = ASHA(space, obj, min_budget=1, max_budget=9,
+                          reduction=3, seed=7,
+                          out_file=tmp_path / "cont.jsonl")
+        continuous.run(12)
+
+        first = ASHA(space, obj, min_budget=1, max_budget=9, reduction=3,
+                     seed=7, out_file=tmp_path / "resume.jsonl")
+        first.run(7)  # ... preemption ...
+        resumed = ASHA(space, obj, min_budget=1, max_budget=9, reduction=3,
+                       seed=7, out_file=tmp_path / "resume.jsonl")
+        assert len([t for t in resumed.trials if t.state == "completed"]) == 7
+        resumed.run(5)
+
+        def key(trials):
+            return sorted(
+                (t.trial_id, t.rung, t.budget, round(t.score, 12),
+                 round(t.config["x"], 12))
+                for t in trials if t.state == "completed"
+            )
+
+        assert key(resumed.trials) == key(continuous.trials)
+        assert best_trial(resumed.trials).config == best_trial(
+            continuous.trials).config
+
     def test_asha_promotes_through_rungs(self):
         space = {"x": Uniform(0, 1)}
         opt = ASHA(space, lambda c, b, i: c["x"], min_budget=1, max_budget=27)
